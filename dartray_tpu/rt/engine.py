@@ -1,0 +1,374 @@
+"""RT engine: stage orchestration.
+
+Rebuild of the dartray_main state machine (dartray_hub.f90:12-67,
+select_rt_type :314-382, rt_prepare :386-469):
+
+  precalc (cells, sources)  -> u_fest   [rad_lim-limited lower bound]
+  direct  (cells, sources)  -> u_final (+ scattering source function)
+  i_obs_dir                 -> observer intensities of direct light
+  scattering iterations     -> u_final += scattered field, scaspe_tot
+  i_obs (scattered)         -> observer intensities of scattered light
+
+Stages drive the batched march kernel through the adaptive nside ladder
+(rt.rays), chunking sources to bound device memory.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..grid.octree import Grid
+from .. import healpix as hp
+from . import march as M
+from . import rays as R
+
+
+@dataclasses.dataclass
+class Physics:
+    """Per-run physical inputs (all device arrays)."""
+
+    dens_ref: jax.Array  # (ncell,) extinction coefficient at lambda_ref [1/pc]
+    kext_norm: jax.Array  # (L,) kext(lambda)/kext_ref
+    albedo: jax.Array  # (L,)
+    gsca: jax.Array  # (L,)
+    cs: float  # light speed in grid units [pc/s]
+    lambda_um: np.ndarray  # (L,)
+
+
+@dataclasses.dataclass
+class SourceSet:
+    pos: np.ndarray  # (n,3)
+    cell: np.ndarray  # (n,) host/source cell ids
+    sid: np.ndarray  # (n,) output row in i_obs (cell id, or ncell+ipsrc)
+    lum: np.ndarray  # (n,L)
+    point: bool  # True for point sources
+
+    @property
+    def n(self):
+        return len(self.cell)
+
+
+def cell_sources(grid: Grid, dens_stars_arr) -> SourceSet:
+    """Emitting leaf cells: lumcell = dens_stars * csize^3
+    (calc_total_luminosity, rt_routines.f90:605-660)."""
+    ds = np.asarray(dens_stars_arr)  # (ncell, L)
+    csize = np.asarray(grid.csize)
+    leaf = np.asarray(grid.leaf_mask())
+    lum = ds * (csize**3)[:, None]
+    sel = np.flatnonzero(leaf & (lum.sum(axis=1) > 0))
+    return SourceSet(
+        pos=np.asarray(grid.ccoord)[sel],
+        cell=sel,
+        sid=sel,
+        lum=lum[sel],
+        point=False,
+    )
+
+
+def point_source_set(grid: Grid, pos, lum) -> SourceSet:
+    """Point sources with host-cell lookup (prepare_p_src,
+    rt_routines.f90:535-576).  The source position is nudged off cell
+    borders (fix_ccoord_p_src rt:579-601)."""
+    from ..grid.octree import point_to_cell
+
+    pos = np.atleast_2d(np.asarray(pos, dtype=np.float64))
+    cell, _ = point_to_cell(grid, pos)
+    cell = np.asarray(cell)
+    # nudge positions away from the host-cell borders
+    cc = np.asarray(grid.ccoord)[cell]
+    cs = np.asarray(grid.csize)[cell]
+    rel = pos - cc
+    onb = np.abs(rel) >= cs[:, None] / 2 * (1 - 1e-9)
+    pos = np.where(onb, pos - np.sign(rel) * 1e-6 * cs[:, None], pos)
+    return SourceSet(
+        pos=pos,
+        cell=cell,
+        sid=grid.n_cells + np.arange(len(cell)),
+        lum=np.atleast_2d(np.asarray(lum)),
+        point=True,
+    )
+
+
+def set_en_lim(grid: Grid, accuracy: float, n_point_sources: int = 0) -> float:
+    """f_U = accuracy / (0.25 * tot_sources) (set_en_lim,
+    rt_routines.f90:3137-3158)."""
+    tot_leaf = int(np.sum(np.asarray(grid.leaf_mask())))
+    tot_sources = tot_leaf + n_point_sources
+    return accuracy / (tot_sources * 0.25)
+
+
+@dataclasses.dataclass
+class StageResult:
+    u: jax.Array  # (ncell, L)
+    lum_lost: np.ndarray  # (L,)
+    stats: dict
+    scaspe: Optional[jax.Array] = None  # (ncell, P, L)
+
+
+def _wall_bounds(cfg, modelsize):
+    lo = [-np.inf] * 3
+    hi = [np.inf] * 3
+    for i, (on, coord) in enumerate(
+        [
+            (cfg.x_wall_on, cfg.x_wall_coord),
+            (cfg.y_wall_on, cfg.y_wall_coord),
+            (cfg.z_wall_on, cfg.z_wall_coord),
+        ]
+    ):
+        if on:
+            # set_walls (rt_routines.f90:2600-2630): relative -> model units
+            lo[i] = coord[0] * modelsize - modelsize / 2.0
+            hi[i] = coord[1] * modelsize - modelsize / 2.0
+    return tuple(lo), tuple(hi)
+
+
+def run_field_stage(
+    grid: Grid,
+    phys: Physics,
+    sources: SourceSet,
+    *,
+    mode: int,
+    u_fest=None,
+    u_init=None,
+    en_lim: float = 0.0,
+    rad_lim: float = 0.1,
+    bm_par: float = 10.0,
+    bm_par_max: float = 200.0,
+    wall_lo=(-np.inf,) * 3,
+    wall_hi=(np.inf,) * 3,
+    chunk: int = 32,
+    fdtype=None,
+    scaspe_weights_fn=None,  # (batch_dict, nside) -> (NR, P) weights; enables scaspe deposits
+    scaspe_init=None,  # (ncell, P, L)
+    src_lum_fn=None,  # optional (batch_dict, nside) -> (NR,L) per-ray luminosity override
+) -> StageResult:
+    """Run one radiation-field stage (precalc or direct) over all sources."""
+    L = phys.kext_norm.shape[0]
+    if fdtype is None:
+        fdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    u = (
+        jnp.zeros((grid.n_cells, L), dtype=fdtype)
+        if u_init is None
+        else jnp.asarray(u_init, dtype=fdtype)
+    )
+    if u_fest is None:
+        u_fest = jnp.zeros((grid.n_cells, L), dtype=fdtype)
+    scaspe = scaspe_init
+    lum_lost = np.zeros(L)
+    stats: dict = {}
+    dens_ref = jnp.asarray(grid.dens_ref, dtype=fdtype)
+    kext_norm = jnp.asarray(phys.kext_norm, dtype=fdtype)
+    albedo = jnp.asarray(phys.albedo, dtype=fdtype)
+    rad_lim_dist = rad_lim * grid.modelsize if mode == M.MODE_PRECALC else np.inf
+
+    for c0 in range(0, sources.n, chunk):
+        sub = SourceSet(
+            pos=sources.pos[c0 : c0 + chunk],
+            cell=sources.cell[c0 : c0 + chunk],
+            sid=sources.sid[c0 : c0 + chunk],
+            lum=sources.lum[c0 : c0 + chunk],
+            point=sources.point,
+        )
+        launch = R.fresh_launch(sub.pos, sub.cell, np.arange(sub.n) + c0, sub.lum)
+
+        def march_fn(batch, nside, _d=None):
+            nonlocal u, lum_lost, scaspe
+            beam_i = 4.0 * np.pi / (12 * nside * nside)
+            kw = dict(
+                mode=mode,
+                point_source=sources.point,
+                beam_i=jnp.asarray(beam_i, dtype=fdtype),
+                en_lim=en_lim,
+                rad_lim_dist=rad_lim_dist,
+                bm_par=float(bm_par),
+                bm_par_max=float(bm_par_max),
+                allow_block=nside > 2 * R.NSIDE_MIN,
+                cs=phys.cs,
+                wall_lo=wall_lo,
+                wall_hi=wall_hi,
+            )
+            if scaspe_weights_fn is not None:
+                w = scaspe_weights_fn(_d, nside)
+                u_new, res, scaspe_new = M.march(
+                    grid, dens_ref, kext_norm, albedo, u_fest, u, batch,
+                    collect_en_sca=True, en_sca_weights=w, scaspe_accum=scaspe,
+                    **kw,
+                )
+                scaspe = scaspe_new
+            else:
+                u_new, res = M.march(
+                    grid, dens_ref, kext_norm, albedo, u_fest, u, batch, **kw
+                )
+            u = u_new
+            lum_lost += np.asarray(res.lum_lost)
+            return res
+
+        _run_ladder_with_d(march_fn, launch, L, fdtype, stats, src_lum_fn)
+
+    return StageResult(u=u, lum_lost=lum_lost, stats=stats, scaspe=scaspe)
+
+
+def _run_ladder_with_d(march_fn, launch, L, fdtype, stats, src_lum_fn=None):
+    """run_ladder wrapper passing the host dict to march_fn (needed for
+    per-ray angular weights in the scattering stage)."""
+
+    def wrapped(batch, nside, d=None):
+        return march_fn(batch, nside, d)
+
+    # re-implement the small ladder loop locally to give march_fn access to
+    # the host-side dict
+    high, low = {}, {}
+
+    def do_march(d, nside):
+        n = len(d["src_cell"])
+        if n == 0:
+            return
+        if src_lum_fn is not None and np.any(d["fresh"]):
+            lum = src_lum_fn(d, nside)
+            d = dict(d)
+            d["lum"] = np.where(d["fresh"][:, None], lum, d["lum"])
+        batch = R._to_batch(d, L, pad_to=R._bucket(n), fdtype=fdtype)
+        res = wrapped(batch, nside, d)
+        stats["rays"] = stats.get("rays", 0) + n
+        stats["steps"] = stats.get("steps", 0) + int(np.asarray(res.n_steps))
+        b_high = R.collect_blocked(d, res, M.ST_HIGH)
+        b_low = R.collect_blocked(d, res, M.ST_LOW)
+        if b_high.n:
+            high.setdefault(nside, []).append(b_high)
+        if b_low.n:
+            low.setdefault(nside, []).append(b_low)
+
+    do_march(launch, R.NSIDE_MIN)
+    while True:
+        if high:
+            nside = min(high)
+            pool = R.Blocked.concat(high.pop(nside))
+            if 2 * nside > R.NSIDE_MAX:
+                raise RuntimeError("nside ladder exceeded NSIDE_MAX")
+            do_march(R.split_high(pool, nside), 2 * nside)
+            continue
+        if low:
+            nside = max(low)
+            pool = R.Blocked.concat(low.pop(nside))
+            merged, reco = R.merge_low(pool, nside)
+            if reco is not None:
+                do_march(reco, nside)
+            if merged is not None:
+                do_march(merged, nside // 2)
+            continue
+        break
+
+
+def run_iobs_stage(
+    grid: Grid,
+    phys: Physics,
+    sources: SourceSet,
+    *,
+    dir_out=None,  # (ndir, 2) theta, phi of external observers
+    pos_obs=None,  # (nobs_in, 3) internal observer positions
+    i_obs=None,  # (nsid, ndir, L) accumulator
+    i_obs_in=None,  # (nsid, nobs_in, L)
+    n_sid: int = 0,
+    chunk: int = 2048,
+    fdtype=None,
+    src_lum_fn=None,  # (theta, phi, cell_ids) -> (n, L): scattered-light source
+):
+    """Observer-intensity stage (rt_loop_iobs, rt_routines.f90:1470-1603).
+
+    One ray per (source, observer); no blocking, pure attenuation.
+    """
+    L = phys.kext_norm.shape[0]
+    if fdtype is None:
+        fdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    n_sid = n_sid or (grid.n_cells + (sources.n if sources.point else 0))
+    dens_ref = jnp.asarray(grid.dens_ref, dtype=fdtype)
+    kext_norm = jnp.asarray(phys.kext_norm, dtype=fdtype)
+    albedo = jnp.asarray(phys.albedo, dtype=fdtype)
+    zero_u = jnp.zeros((grid.n_cells, L), dtype=fdtype)
+
+    if i_obs is None and dir_out is not None:
+        i_obs = np.zeros((n_sid, len(dir_out), L))
+    if i_obs_in is None and pos_obs is not None:
+        i_obs_in = np.zeros((n_sid, len(pos_obs), L))
+
+    def run_rays(d, mode, vec_mod=None):
+        n = len(d["src_cell"])
+        batch = R._to_batch(d, L, pad_to=R._bucket(n), fdtype=fdtype)
+        if vec_mod is not None:
+            vm = np.zeros(batch.n)
+            vm[:n] = vec_mod
+            vm = jnp.asarray(vm, dtype=fdtype)
+        else:
+            vm = None
+        _, res = M.march(
+            grid, dens_ref, kext_norm, albedo, zero_u, zero_u, batch,
+            mode=mode, point_source=sources.point, vec_mod=vm,
+        )
+        return np.asarray(res.i_obs)[:n]
+
+    for c0 in range(0, sources.n, chunk):
+        sl = slice(c0, min(c0 + chunk, sources.n))
+        pos = sources.pos[sl]
+        cells = sources.cell[sl]
+        sids = sources.sid[sl]
+        lum = sources.lum[sl]
+        ns = len(cells)
+
+        if dir_out is not None and len(dir_out) > 0:
+            for j, (th, ph) in enumerate(np.asarray(dir_out)):
+                lum_j = (
+                    src_lum_fn(np.full(ns, th), np.full(ns, ph), cells)
+                    if src_lum_fn is not None
+                    else lum
+                )
+                d = dict(
+                    src_pos=pos,
+                    src_cell=cells,
+                    src_idx=np.arange(ns),
+                    ipix=np.zeros(ns, dtype=np.int64),
+                    theta=np.full(ns, th),
+                    phi=np.full(ns, ph),
+                    lum=lum_j,
+                    prev=np.zeros(ns),
+                    cc_old=cells,
+                    isel_old=np.full(ns, -1, dtype=np.int64),
+                    dplane=np.zeros(ns),
+                    fresh=np.ones(ns, dtype=bool),
+                )
+                i_obs[sids, j] += run_rays(d, M.MODE_IOBS)
+
+        if pos_obs is not None and len(pos_obs) > 0:
+            for j, ro in enumerate(np.asarray(pos_obs)):
+                vec = ro[None, :] - pos  # source -> observer
+                vec_mod = np.sqrt(np.sum(vec**2, axis=1))
+                # find_theta_phi_obs_in (rt_routines.f90:3164-3217)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    theta = np.arccos(np.clip(vec[:, 2] / np.maximum(vec_mod, 1e-300), -1, 1))
+                    phi = np.arctan2(vec[:, 1], vec[:, 0]) % (2 * np.pi)
+                theta = np.where(vec_mod > 1e-8, theta, 0.0)
+                phi = np.where(vec_mod > 1e-8, phi, 0.0)
+                lum_j = (
+                    src_lum_fn(theta, phi, cells) if src_lum_fn is not None else lum
+                )
+                d = dict(
+                    src_pos=pos,
+                    src_cell=cells,
+                    src_idx=np.arange(ns),
+                    ipix=np.zeros(ns, dtype=np.int64),
+                    theta=theta,
+                    phi=phi,
+                    lum=lum_j,
+                    prev=np.zeros(ns),
+                    cc_old=cells,
+                    isel_old=np.full(ns, -1, dtype=np.int64),
+                    dplane=np.zeros(ns),
+                    fresh=np.ones(ns, dtype=bool),
+                )
+                i_obs_in[sids, j] += run_rays(d, M.MODE_IOBS_IN, vec_mod=vec_mod)
+
+    return i_obs, i_obs_in
