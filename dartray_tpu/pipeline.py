@@ -117,6 +117,7 @@ def run_direct_light(
             en_lim=en_lim, bm_par=cfg.bm_par, bm_par_max=cfg.bm_par_max,
             wall_lo=wall_lo, wall_hi=wall_hi, chunk=chunk,
             scaspe_weights_fn=weights_fn, scaspe_init=scaspe,
+            scaspe_npix_hp=scaspe_cfg.npix_hp if scaspe_cfg else 0,
         )
         u_final = r.u
         if collect_scaspe:
@@ -184,4 +185,143 @@ def run_direct_light(
         lum_lost=lum_lost,
         scaspe=scaspe,
         stats=stats,
+    )
+
+
+@dataclasses.dataclass
+class MainRTResult:
+    direct: DirectLightResult
+    u_final: np.ndarray  # (ncell, L) total field (direct + scattered)
+    i_obs: Optional[np.ndarray]  # (nsid, ndir, L) total observer intensity
+    i_obs_in: Optional[np.ndarray]
+    sed_tot: Optional[np.ndarray]  # (ndir, L) [Jy]
+    maps_tot: Optional[np.ndarray]  # (ndir, npix, npix, Lmaps) [MJy/sr]
+    scaspe_tot: Optional[np.ndarray]
+    iterations: int
+    converged: bool
+    lum_lost: np.ndarray
+
+
+def run_main(
+    grid: Grid,
+    cfg: RTConfig,
+    wl: WavelengthGrid,
+    dust: DustModel,
+    dens_stars_arr=None,
+    p_src_pos=None,
+    p_src_lum=None,
+    dir_out=None,
+    pos_obs=None,
+    chunk: int = 32,
+) -> MainRTResult:
+    """The full stellar-emission RT: direct light + scattering iterations +
+    total observer products (the 'main' rt_algorithm of dartray_main,
+    dartray_hub.f90:12-67)."""
+    from .rt import scattering as SC
+
+    sl = wl.stellar_slice
+    L = wl.lnum_stars
+    phys = make_physics(grid, dust, sl)
+    scfg = SC.ScaspeConfig.make(cfg.kp_sca_max, dir_out)
+
+    direct = run_direct_light(
+        grid, cfg, wl, dust,
+        dens_stars_arr=dens_stars_arr, p_src_pos=p_src_pos, p_src_lum=p_src_lum,
+        dir_out=dir_out, pos_obs=pos_obs, make_maps=False,
+        chunk=chunk, collect_scaspe=not cfg.only_direct_rt, scaspe_cfg=scfg,
+    )
+
+    n_point = len(p_src_pos) if p_src_pos is not None else 0
+    n_sid = grid.n_cells + n_point
+    psrc_host = None
+    if n_point:
+        psrc_host = E.point_source_set(grid, p_src_pos, p_src_lum).cell
+
+    if cfg.only_direct_rt:
+        i_obs_tot = direct.i_obs
+        i_obs_in_tot = direct.i_obs_in
+        u_tot = direct.u_final
+        scaspe_tot = None
+        iters, conv = 0, True
+        lum_lost = direct.lum_lost
+    else:
+        en_lim = E.set_en_lim(grid, cfg.accuracy, n_point)
+        wall_lo, wall_hi = E._wall_bounds(cfg, grid.modelsize)
+        sres = SC.run_scattering(
+            grid, phys, scfg, direct.scaspe, direct.u_final,
+            conv_en_lim=cfg.conv_en_lim,
+            en_lim=en_lim,
+            bm_par_sca=cfg.bm_par_sca,
+            bm_par_max=cfg.bm_par_max,
+            max_iterations=(
+                cfg.max_sca_iterations if cfg.limit_scattering_iterations else 1000
+            ),
+            wall_lo=wall_lo, wall_hi=wall_hi, chunk=chunk,
+        )
+        u_tot = np.asarray(sres.u_final)
+        scaspe_tot = np.asarray(sres.scaspe_tot)
+        iters, conv = sres.iterations, sres.converged
+        lum_lost = direct.lum_lost + sres.lum_lost
+
+        # scattered-light observer intensities (rtt_i_obs, rt_loop_iobs with
+        # scaspe_tot as the source, rt_routines.f90:1519-1548)
+        i_obs_tot = direct.i_obs.copy() if direct.i_obs is not None else None
+        i_obs_in_tot = direct.i_obs_in.copy() if direct.i_obs_in is not None else None
+        if i_obs_tot is not None or i_obs_in_tot is not None:
+            lumcell_sca = scaspe_tot[:, : scfg.npix_hp, :].sum(axis=1)
+            leaf = np.asarray(grid.leaf_mask())
+            sel = np.flatnonzero(leaf & (lumcell_sca.sum(axis=1) > 0))
+            sca_sources = E.SourceSet(
+                pos=np.asarray(grid.ccoord)[sel], cell=sel, sid=sel,
+                lum=lumcell_sca[sel], point=False,
+            )
+
+            def dir_fn(j, cells):
+                return scaspe_tot[cells, scfg.npix_hp + j, :] * scfg.npix_hp
+
+            def ang_fn(theta, phi, cells):
+                return SC.assign_src_lum(scfg, scaspe_tot, cells, theta, phi)
+
+            i_obs_tot, i_obs_in_tot = E.run_iobs_stage(
+                grid, phys, sca_sources, dir_out=dir_out, pos_obs=pos_obs,
+                i_obs=i_obs_tot, i_obs_in=i_obs_in_tot, n_sid=n_sid,
+                src_lum_dir_fn=dir_fn, src_lum_fn=ang_fn,
+            )
+
+    units = (
+        "erg/s/Hz/pc^2/sr" if cfg.units_luminosity == "erg/s/Hz" else "W/Hz/pc^2/sr"
+    )
+    sed_tot = None
+    maps_tot = None
+    if i_obs_tot is not None and cfg.print_sed:
+        sed_tot = SED.calc_sed(grid, i_obs_tot, cfg.dist_obs, units, src_host=psrc_host)
+    if i_obs_tot is not None and cfg.print_maps:
+        lam_idx = (
+            [i - wl.i_lambda_stars[0] for i in cfg.ind_out_maps
+             if wl.i_lambda_stars[0] <= i <= wl.i_lambda_stars[1]]
+            if cfg.ind_out_maps
+            else list(range(L))
+        )
+        mlist = []
+        psrc_pos = np.asarray(p_src_pos) if n_point else None
+        for j, (th, ph) in enumerate(np.asarray(dir_out)):
+            m = MAPS.make_map(
+                grid, i_obs_tot[:, j, :], th, ph,
+                cfg.npixel_maps, cfg.map_size_factor,
+                src_pos=psrc_pos, src_host=psrc_host,
+            )
+            mlist.append(MAPS.convert_map_to_MJy_sr(m[..., lam_idx], units))
+        maps_tot = np.stack(mlist)
+
+    return MainRTResult(
+        direct=direct,
+        u_final=u_tot,
+        i_obs=i_obs_tot,
+        i_obs_in=i_obs_in_tot,
+        sed_tot=sed_tot,
+        maps_tot=maps_tot,
+        scaspe_tot=scaspe_tot,
+        iterations=iters,
+        converged=conv,
+        lum_lost=lum_lost,
     )

@@ -143,8 +143,9 @@ def run_field_stage(
     wall_hi=(np.inf,) * 3,
     chunk: int = 32,
     fdtype=None,
-    scaspe_weights_fn=None,  # (batch_dict, nside) -> (NR, P) weights; enables scaspe deposits
+    scaspe_weights_fn=None,  # (batch_dict, nside) -> (ads, hg_norm); enables scaspe deposits
     scaspe_init=None,  # (ncell, P, L)
+    scaspe_npix_hp: int = 0,  # number of HEALPix pixels in the scaspe P axis
     src_lum_fn=None,  # optional (batch_dict, nside) -> (NR,L) per-ray luminosity override
 ) -> StageResult:
     """Run one radiation-field stage (precalc or direct) over all sources."""
@@ -193,10 +194,19 @@ def run_field_stage(
                 wall_hi=wall_hi,
             )
             if scaspe_weights_fn is not None:
-                w = scaspe_weights_fn(_d, nside)
+                ads, hgn = scaspe_weights_fn(_d, nside)
+                npad = batch.n - ads.shape[0]
+                if npad > 0:
+                    ads = np.pad(ads, ((0, npad), (0, 0)))
+                    hgn = np.pad(hgn, ((0, npad), (0, 0)), constant_values=1.0)
                 u_new, res, scaspe_new = M.march(
                     grid, dens_ref, kext_norm, albedo, u_fest, u, batch,
-                    collect_en_sca=True, en_sca_weights=w, scaspe_accum=scaspe,
+                    collect_en_sca=True,
+                    gsca=jnp.asarray(phys.gsca, dtype=fdtype),
+                    en_sca_ads=jnp.asarray(ads, dtype=fdtype),
+                    hg_norm=jnp.asarray(hgn, dtype=fdtype),
+                    npix_hp=scaspe_npix_hp,
+                    scaspe_accum=scaspe,
                     **kw,
                 )
                 scaspe = scaspe_new
@@ -277,6 +287,7 @@ def run_iobs_stage(
     chunk: int = 2048,
     fdtype=None,
     src_lum_fn=None,  # (theta, phi, cell_ids) -> (n, L): scattered-light source
+    src_lum_dir_fn=None,  # (dir_index, cell_ids) -> (n, L): external observers
 ):
     """Observer-intensity stage (rt_loop_iobs, rt_routines.f90:1470-1603).
 
@@ -321,11 +332,12 @@ def run_iobs_stage(
 
         if dir_out is not None and len(dir_out) > 0:
             for j, (th, ph) in enumerate(np.asarray(dir_out)):
-                lum_j = (
-                    src_lum_fn(np.full(ns, th), np.full(ns, ph), cells)
-                    if src_lum_fn is not None
-                    else lum
-                )
+                if src_lum_dir_fn is not None:
+                    lum_j = src_lum_dir_fn(j, cells)
+                elif src_lum_fn is not None:
+                    lum_j = src_lum_fn(np.full(ns, th), np.full(ns, ph), cells)
+                else:
+                    lum_j = lum
                 d = dict(
                     src_pos=pos,
                     src_cell=cells,

@@ -99,6 +99,7 @@ def _dir_components(theta, phi):
         "trace_steps",
         "collect_en_sca",
         "allow_block",
+        "npix_hp",
     ),
 )
 def march(
@@ -125,8 +126,11 @@ def march(
     max_steps: int = 100000,
     trace_steps: int = 0,  # record (cell, length) per intersection if > 0
     collect_en_sca: bool = False,  # also accumulate scattered energy per step
-    en_sca_weights=None,  # (NR, P) per-ray angular deposition weights
-    scaspe_accum=None,  # (ncell, P) scattering source accumulator (L summed out? no: see engine)
+    gsca=None,  # (L,) HG asymmetry per wavelength
+    en_sca_ads=None,  # (NR, P) cos(angle) ray-direction vs scaspe directions
+    hg_norm=None,  # (NR, L) HG normalization sum over the npix_hp pixels
+    npix_hp: int = 1,  # static: number of HEALPix pixels in the scaspe axis
+    scaspe_accum=None,  # (ncell, P, L) scattering source accumulator
 ):
     """Advance every ray to completion (exit / kill / block).
 
@@ -347,10 +351,20 @@ def march(
             en_sca = jnp.where(is_src_cell[:, None], en_own, en_ext)
             en_sca = en_sca * albedo[None, :] * area_i[:, None] * beam_i
             en_sca = jnp.where(do_dep[:, None], en_sca, 0.0)
-            # scaspe[cell, pix, lambda] += en_sca[ray, lambda] * w[ray, pix]
-            s_scaspe = s["scaspe"].at[ccs].add(
-                en_sca_weights[:, :, None] * en_sca[:, None, :]
-            )
+            # Henyey-Greenstein deposition weights per (ray, pixel, lambda)
+            # (calc_ffn_arr rt_routines.f90:2186-2281): normalized over the
+            # npix_hp HEALPix pixels; isotropic lambdas (|g|<2e-3) get
+            # uniform 1/npix_hp
+            g = gsca[None, None, :]
+            iso = jnp.abs(gsca) < 2e-3
+            ffn_aniso = (
+                (1.0 - g**2)
+                / npix_hp
+                * (1.0 + g**2 - 2.0 * g * en_sca_ads[:, :, None]) ** (-1.5)
+            ) / jnp.maximum(hg_norm[:, None, :], 1e-300)
+            ffn = jnp.where(iso[None, None, :], 1.0 / npix_hp, ffn_aniso)
+            # scaspe[cell, pix, lambda] += en_sca[ray, lambda] * ffn[ray, pix, lambda]
+            s_scaspe = s["scaspe"].at[ccs].add(ffn * en_sca[:, None, :])
 
         if do_trace:
             tc = jnp.clip(s["trace_count"], 0, trace_steps - 1)
@@ -403,8 +417,18 @@ def march(
             digit = jnp.clip(jnp.floor(normb / csize_lv[l]).astype(jnp.int32), 0, b - 1)
             normb = normb - digit * csize_lv[l]
             fine_re = fine_re + digit * spl[l]
+        # monotonicity guard: the float recompute can land exactly on a cell
+        # boundary and round back *behind* a wall the ray already crossed
+        # (degenerate diagonal rays through cell corners), which would
+        # ping-pong forever.  Never move a coordinate against the ray
+        # direction relative to the current cell's entry coordinates.
+        fine_mono = jnp.where(
+            inc > 0,
+            jnp.maximum(fine_re, fine),
+            jnp.where(inc < 0, jnp.minimum(fine_re, fine), fine_re),
+        )
         sel_onehot = jax.nn.one_hot(isel, 3, dtype=jnp.int32)
-        fine_next = jnp.where(sel_onehot == 1, fnew_sel[:, None], fine_re)
+        fine_next = jnp.where(sel_onehot == 1, fnew_sel[:, None], fine_mono)
 
         cc_next, clvl_next = _descend(grid, fine_next)
 
