@@ -274,6 +274,63 @@ def _run_ladder_with_d(march_fn, launch, L, fdtype, stats, src_lum_fn=None):
         break
 
 
+def trace_iobs_rays(
+    grid: Grid,
+    phys: Physics,
+    sources: SourceSet,
+    theta,
+    phi,
+    *,
+    trace_steps: int = 0,
+    fdtype=None,
+):
+    """March one ray per source toward (theta[i], phi[i]) recording the
+    (cell, length) trace; returns (traces dict, i_obs from the march).
+
+    The traces feed rt.replay for differentiable observer intensities: ray
+    geometry for iobs rays is independent of the medium, so gradients of
+    the replayed intensities w.r.t. density/opacity are exact.
+    """
+    L = phys.kext_norm.shape[0]
+    if fdtype is None:
+        fdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if trace_steps == 0:
+        trace_steps = 4 * grid.n_fine
+    ns = sources.n
+    d = dict(
+        src_pos=sources.pos,
+        src_cell=sources.cell,
+        src_idx=np.arange(ns),
+        ipix=np.zeros(ns, dtype=np.int64),
+        theta=np.asarray(theta),
+        phi=np.asarray(phi),
+        lum=sources.lum,
+        prev=np.zeros(ns),
+        cc_old=sources.cell,
+        isel_old=np.full(ns, -1, dtype=np.int64),
+        dplane=np.zeros(ns),
+        fresh=np.ones(ns, dtype=bool),
+    )
+    from . import rays as R
+
+    batch = R._to_batch(d, L, pad_to=R._bucket(ns), fdtype=fdtype)
+    dens_ref = jnp.asarray(grid.dens_ref, dtype=fdtype)
+    zero_u = jnp.zeros((grid.n_cells, L), dtype=fdtype)
+    _, res = M.march(
+        grid, dens_ref, jnp.asarray(phys.kext_norm, dtype=fdtype),
+        jnp.asarray(phys.albedo, dtype=fdtype), zero_u, zero_u, batch,
+        mode=M.MODE_IOBS, point_source=sources.point, trace_steps=trace_steps,
+    )
+    traces = dict(
+        cells=np.asarray(res.trace_cells)[:ns],
+        lengths=np.asarray(res.trace_lengths)[:ns],
+        count=np.asarray(res.trace_count)[:ns],
+        src_cell=sources.cell,
+        csize_nc=np.asarray(grid.csize)[sources.cell],
+    )
+    return traces, np.asarray(res.i_obs)[:ns]
+
+
 def run_iobs_stage(
     grid: Grid,
     phys: Physics,
