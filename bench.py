@@ -1,0 +1,121 @@
+"""Benchmark: rays/sec/chip on the TRUST I slab direct-light stage.
+
+Runs the reference benchmark workload (TRUST I slab, tau_z=0.01, base=(10,2),
+max_lvl=4, accuracy=0.1, bm_par=10, bm_par_max=200, rad_lim=0.1 — from
+data/TRUSTI_GRIDS/input_trustI_tau0.01_LD.in) on the local accelerator and
+prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
+
+vs_baseline compares against data/bench_baseline.json (the first recorded
+run of this framework; the reference publishes no numbers — BASELINE.md).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+BASELINE_FILE = os.path.join(ROOT, "data", "bench_baseline.json")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dartray_tpu.config import RTConfig
+    from dartray_tpu.wavelength import make_wavelength_grid, read_lambda_list
+    from dartray_tpu import dust as D
+    from dartray_tpu.models import trustI
+    from dartray_tpu import pipeline as P
+    from dartray_tpu.rt import engine as E
+    from dartray_tpu.rt import march as M
+
+    t0 = time.time()
+    dev = jax.devices()[0]
+    print(f"# device: {dev}", file=sys.stderr)
+
+    # benchmark workload (input_trustI_tau0.01_LD.in)
+    grid = trustI.build_trustI_grid(
+        tau_z=0.01, base=(10, 2), max_lvl=4, min_lvl=1, max_ncell=4_000_000
+    )
+    lam = read_lambda_list(os.path.join(ROOT, "data/TRUSTI_GRIDS/lambda_list_trustI_basic.dat"))
+    wl = make_wavelength_grid(lam, max_lambda_stars=80.0, min_lambda_dust=1.0)
+    dustm = D.load_effective_dust_model(
+        os.path.join(ROOT, "data/DUST_OPACITY/TRUST/ZDA_BARE_GR_S_Effective.dat"),
+        wl.lambda_um, lambda_ref=1.0,
+    )
+    tl, tf = trustI.read_planck_table(
+        os.path.join(ROOT, "data/TRUSTI_GRIDS/BB_T10000_L100000.dat")
+    )
+    lum = trustI.source_luminosity(wl.lambda_um, tl, tf)[None, :]
+    cfg = RTConfig(
+        accuracy=0.1, bm_par=10, bm_par_sca=5, bm_par_max=200, rad_lim=0.1,
+        kp_sca_max=1, use_p_src=True,
+    ).validate()
+    print(f"# grid: {grid.n_cells} cells, L={wl.lnum_stars}, setup {time.time()-t0:.1f}s",
+          file=sys.stderr)
+
+    sl = wl.stellar_slice
+    phys = P.make_physics(grid, dustm, sl)
+    src = E.point_source_set(grid, trustI.STAR_POS[None, :], lum[:, sl])
+    en_lim = E.set_en_lim(grid, cfg.accuracy, 1)
+
+    def run_direct(u_fest):
+        t = time.time()
+        r = E.run_field_stage(
+            grid, phys, src, mode=M.MODE_DIRECT, u_fest=u_fest,
+            en_lim=en_lim, bm_par=cfg.bm_par, bm_par_max=cfg.bm_par_max,
+            chunk=32,
+        )
+        jax.block_until_ready(r.u)
+        return r, time.time() - t
+
+    # precalc (gives u_fest for the kill criterion)
+    t = time.time()
+    pre = E.run_field_stage(
+        grid, phys, src, mode=M.MODE_PRECALC, rad_lim=cfg.rad_lim,
+        bm_par=cfg.bm_par, bm_par_max=cfg.bm_par_max, chunk=32,
+    )
+    jax.block_until_ready(pre.u)
+    t_pre = time.time() - t
+    print(f"# precalc: {t_pre:.2f}s rays={pre.stats.get('rays')} steps={pre.stats.get('steps')}",
+          file=sys.stderr)
+
+    # warmup (compiles), then the measured run
+    r1, t1 = run_direct(pre.u)
+    r2, t2 = run_direct(pre.u)
+    rays = r2.stats["rays"]
+    steps = r2.stats["steps"]
+    rays_per_sec = rays / t2
+    print(
+        f"# direct: warm {t1:.2f}s, measured {t2:.2f}s, rays={rays}, "
+        f"steps={steps}, {rays_per_sec:,.0f} rays/s, "
+        f"{steps/t2:,.0f} intersections/s",
+        file=sys.stderr,
+    )
+
+    baseline = None
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            baseline = json.load(f).get("rays_per_sec")
+    vs = rays_per_sec / baseline if baseline else 1.0
+    if baseline is None:
+        os.makedirs(os.path.dirname(BASELINE_FILE), exist_ok=True)
+        with open(BASELINE_FILE, "w") as f:
+            json.dump(
+                {"rays_per_sec": rays_per_sec, "device": str(dev),
+                 "steps_per_sec": steps / t2, "wall_direct_s": t2}, f)
+
+    print(json.dumps({
+        "metric": "trustI_direct_rays_per_sec_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
