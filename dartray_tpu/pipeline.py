@@ -64,10 +64,16 @@ def run_direct_light(
     chunk: int = 32,
     collect_scaspe: bool = False,
     scaspe_cfg=None,
+    lambda_range: str = "stars",
+    bm_par: float = None,
+    u_init=None,
 ) -> DirectLightResult:
-    """Stellar-emission direct light: precalc -> direct -> i_obs -> SED/maps."""
-    sl = wl.stellar_slice
-    L = wl.lnum_stars
+    """Direct light on the stellar or dust wavelength range:
+    precalc -> direct -> i_obs -> SED/maps."""
+    sl = wl.stellar_slice if lambda_range == "stars" else wl.dust_slice
+    L = wl.lnum_stars if lambda_range == "stars" else wl.lnum_dust
+    if bm_par is None:
+        bm_par = cfg.bm_par
     phys = make_physics(grid, dust, sl)
     stats: dict = {}
 
@@ -92,7 +98,7 @@ def run_direct_light(
     for s in sources:
         r = E.run_field_stage(
             grid, phys, s, mode=M.MODE_PRECALC, u_init=u_fest,
-            rad_lim=cfg.rad_lim, bm_par=cfg.bm_par, bm_par_max=cfg.bm_par_max,
+            rad_lim=cfg.rad_lim, bm_par=bm_par, bm_par_max=cfg.bm_par_max,
             chunk=chunk,
         )
         u_fest = r.u
@@ -109,12 +115,16 @@ def run_direct_light(
         scaspe = jnp.zeros((grid.n_cells, scaspe_cfg.npix_tot, L), dtype=fdtype)
         weights_fn = scaspe_cfg.weights_fn(phys)
 
-    u_final = jnp.zeros((grid.n_cells, L), dtype=fdtype)
+    u_final = (
+        jnp.zeros((grid.n_cells, L), dtype=fdtype)
+        if u_init is None
+        else jnp.asarray(u_init, dtype=fdtype)
+    )
     lum_lost = np.zeros(L)
     for s in sources:
         r = E.run_field_stage(
             grid, phys, s, mode=M.MODE_DIRECT, u_fest=u_fest, u_init=u_final,
-            en_lim=en_lim, bm_par=cfg.bm_par, bm_par_max=cfg.bm_par_max,
+            en_lim=en_lim, bm_par=bm_par, bm_par_max=cfg.bm_par_max,
             wall_lo=wall_lo, wall_hi=wall_hi, chunk=chunk,
             scaspe_weights_fn=weights_fn, scaspe_init=scaspe,
             scaspe_npix_hp=scaspe_cfg.npix_hp if scaspe_cfg else 0,
@@ -145,22 +155,26 @@ def run_direct_light(
             )
 
     # ---- SED and maps ----
-    units = (
-        "erg/s/Hz/pc^2/sr" if cfg.units_luminosity == "erg/s/Hz" else "W/Hz/pc^2/sr"
-    )
+    if lambda_range == "dust":
+        units = "W/m/pc^2/sr"  # set_units (rt_routines.f90:5198-5201)
+    else:
+        units = (
+            "erg/s/Hz/pc^2/sr" if cfg.units_luminosity == "erg/s/Hz" else "W/Hz/pc^2/sr"
+        )
     sed_direct = None
     maps_direct = None
     if i_obs is not None and cfg.print_sed:
         sed_direct = SED.calc_sed(
             grid, i_obs, cfg.dist_obs, units,
             src_host=psrc.cell if psrc is not None else None,
+            lambda_si=wl.lambda_si[sl],
         )
     if make_maps is None:
         make_maps = cfg.print_maps
     if i_obs is not None and make_maps:
+        i_rng = wl.i_lambda_stars if lambda_range == "stars" else wl.i_lambda_dust
         lam_idx = (
-            [i - wl.i_lambda_stars[0] for i in cfg.ind_out_maps
-             if wl.i_lambda_stars[0] <= i <= wl.i_lambda_stars[1]]
+            [i - i_rng[0] for i in cfg.ind_out_maps if i_rng[0] <= i <= i_rng[1]]
             if cfg.ind_out_maps
             else list(range(L))
         )
@@ -172,7 +186,12 @@ def run_direct_light(
                 src_pos=psrc.pos if psrc is not None else None,
                 src_host=psrc.cell if psrc is not None else None,
             )
-            mlist.append(MAPS.convert_map_to_MJy_sr(m[..., lam_idx], units))
+            mlist.append(
+                MAPS.convert_map_to_MJy_sr(
+                    m[..., lam_idx], units,
+                    lambda_si=wl.lambda_si[sl][lam_idx],
+                )
+            )
         maps_direct = np.stack(mlist)
 
     return DirectLightResult(
@@ -213,14 +232,19 @@ def run_main(
     dir_out=None,
     pos_obs=None,
     chunk: int = 32,
+    lambda_range: str = "stars",
+    bm_par: float = None,
+    u_init=None,
 ) -> MainRTResult:
-    """The full stellar-emission RT: direct light + scattering iterations +
-    total observer products (the 'main' rt_algorithm of dartray_main,
-    dartray_hub.f90:12-67)."""
+    """The full RT on one wavelength range: direct light + scattering
+    iterations + total observer products (the 'main' rt_algorithm of
+    dartray_main, dartray_hub.f90:12-67)."""
     from .rt import scattering as SC
 
-    sl = wl.stellar_slice
-    L = wl.lnum_stars
+    sl = wl.stellar_slice if lambda_range == "stars" else wl.dust_slice
+    L = wl.lnum_stars if lambda_range == "stars" else wl.lnum_dust
+    if bm_par is None:
+        bm_par = cfg.bm_par
     phys = make_physics(grid, dust, sl)
     scfg = SC.ScaspeConfig.make(cfg.kp_sca_max, dir_out)
 
@@ -229,6 +253,7 @@ def run_main(
         dens_stars_arr=dens_stars_arr, p_src_pos=p_src_pos, p_src_lum=p_src_lum,
         dir_out=dir_out, pos_obs=pos_obs, make_maps=False,
         chunk=chunk, collect_scaspe=not cfg.only_direct_rt, scaspe_cfg=scfg,
+        lambda_range=lambda_range, bm_par=bm_par, u_init=u_init,
     )
 
     n_point = len(p_src_pos) if p_src_pos is not None else 0
@@ -288,17 +313,21 @@ def run_main(
                 src_lum_dir_fn=dir_fn, src_lum_fn=ang_fn,
             )
 
-    units = (
-        "erg/s/Hz/pc^2/sr" if cfg.units_luminosity == "erg/s/Hz" else "W/Hz/pc^2/sr"
-    )
+    if lambda_range == "dust":
+        units = "W/m/pc^2/sr"
+    else:
+        units = (
+            "erg/s/Hz/pc^2/sr" if cfg.units_luminosity == "erg/s/Hz" else "W/Hz/pc^2/sr"
+        )
     sed_tot = None
     maps_tot = None
     if i_obs_tot is not None and cfg.print_sed:
-        sed_tot = SED.calc_sed(grid, i_obs_tot, cfg.dist_obs, units, src_host=psrc_host)
+        sed_tot = SED.calc_sed(grid, i_obs_tot, cfg.dist_obs, units,
+                               src_host=psrc_host, lambda_si=wl.lambda_si[sl])
     if i_obs_tot is not None and cfg.print_maps:
+        i_rng = wl.i_lambda_stars if lambda_range == "stars" else wl.i_lambda_dust
         lam_idx = (
-            [i - wl.i_lambda_stars[0] for i in cfg.ind_out_maps
-             if wl.i_lambda_stars[0] <= i <= wl.i_lambda_stars[1]]
+            [i - i_rng[0] for i in cfg.ind_out_maps if i_rng[0] <= i <= i_rng[1]]
             if cfg.ind_out_maps
             else list(range(L))
         )
@@ -310,7 +339,12 @@ def run_main(
                 cfg.npixel_maps, cfg.map_size_factor,
                 src_pos=psrc_pos, src_host=psrc_host,
             )
-            mlist.append(MAPS.convert_map_to_MJy_sr(m[..., lam_idx], units))
+            mlist.append(
+                MAPS.convert_map_to_MJy_sr(
+                    m[..., lam_idx], units,
+                    lambda_si=wl.lambda_si[sl][lam_idx],
+                )
+            )
         maps_tot = np.stack(mlist)
 
     return MainRTResult(
@@ -324,4 +358,148 @@ def run_main(
         iterations=iters,
         converged=conv,
         lum_lost=lum_lost,
+    )
+
+
+@dataclasses.dataclass
+class DustRTResult:
+    u_dust: np.ndarray  # (ncell, Ld) dust-emission radiation field
+    dens_stars_dust: np.ndarray  # (ncell, Ld) total dust emissivity [W/m/pc^3]
+    t_dust: Optional[np.ndarray]  # (ncell,) equilibrium temperature (eff mode)
+    i_obs: Optional[np.ndarray]  # (nsid, ndir, Ld) total dust-emission intensity
+    i_obs_in: Optional[np.ndarray]
+    sed_dust: Optional[np.ndarray]  # (ndir, Ld) [Jy]
+    maps_dust: Optional[np.ndarray]
+    iterations: int
+    converged: bool
+
+
+def run_dust_rt(
+    grid: Grid,
+    cfg: RTConfig,
+    wl: WavelengthGrid,
+    dust: DustModel,
+    u_stellar,  # (ncell, Ls) stellar radiation field from the stellar RT
+    dir_out=None,
+    pos_obs=None,
+    chunk: int = 32,
+    max_dust_iterations: int = 30,
+) -> DustRTResult:
+    """Dust emission with self-heating iterations (dartray_dust,
+    dartray_hub.f90:210-253): compute the dust emissivity from the absorbed
+    stellar (+dust) radiation, run the RT on the dust wavelength grid for
+    the *delta* emissivity, and iterate until the emissivity converges
+    (check_dens_stars_arr, sed_routines.f90:279-333).
+
+    Only the 'eff' and 'equ' heating modes are implemented ('sto'/'sto_lib'
+    planned).  Uses bm_par_sca for the ray density (grid_initialize_dust,
+    dartray_hub.f90:518-527).
+    """
+    from . import dust_emission as DE
+
+    if wl.no_dust_rt:
+        raise ValueError("dust RT disabled: <10 wavelengths in a range")
+    Ld = wl.lnum_dust
+    units_ufield = (
+        "erg/Hz/pc^3" if cfg.units_luminosity == "erg/s/Hz" else "J/Hz/pc^3"
+    )
+
+    dens_ref = np.asarray(grid.dens_ref)
+    leaf = np.asarray(grid.leaf_mask())
+    u_dust = np.zeros((grid.n_cells, Ld))
+    dens_prev = np.zeros((grid.n_cells, Ld))
+    n_sid = grid.n_cells
+    i_obs_tot = (
+        np.zeros((n_sid, len(dir_out), Ld)) if dir_out is not None else None
+    )
+    i_obs_in_tot = (
+        np.zeros((n_sid, len(pos_obs), Ld)) if pos_obs is not None else None
+    )
+    t_dust = None
+    converged = False
+
+    it = 0
+    while it < max_dust_iterations:
+        it += 1
+        u_d = u_dust if it > 1 else None
+        if cfg.dust_heating_type == "eff":
+            dens_new, t_dust = DE.dens_dustem_eff(
+                dust, wl, dens_ref, u_stellar, u_d, units_ufield
+            )
+            dens_new = np.asarray(dens_new)
+        elif cfg.dust_heating_type == "equ":
+            dens_new = DE.dens_dustem_equ(
+                dust, wl, dens_ref, u_stellar, u_d, units_ufield
+            )
+        else:
+            raise NotImplementedError(
+                f"dust_heating_type {cfg.dust_heating_type!r} not implemented yet"
+            )
+
+        # convergence check (check_dens_stars_arr, sed:279-333)
+        emitting = leaf & (dens_new.sum(axis=1) > 0)
+        rel = np.abs(dens_new[emitting] - dens_prev[emitting]) / np.maximum(
+            dens_new[emitting], 1e-300
+        )
+        n_no_conv = int((rel > cfg.conv_en_lim).sum())
+        if n_no_conv == 0 and it > 1:
+            converged = True
+            it -= 1  # this pass did no RT
+            break
+
+        delta = dens_new - dens_prev
+        dens_prev = dens_new
+
+        res = run_main(
+            grid, cfg, wl, dust,
+            dens_stars_arr=delta,
+            dir_out=dir_out, pos_obs=pos_obs, chunk=chunk,
+            lambda_range="dust", bm_par=cfg.bm_par_sca,
+            u_init=u_dust,
+        )
+        u_dust = np.asarray(res.u_final)
+        if i_obs_tot is not None:
+            i_obs_tot += res.i_obs[:n_sid]
+        if i_obs_in_tot is not None:
+            i_obs_in_tot += res.i_obs_in[:n_sid]
+
+    sed_dust = None
+    maps_dust = None
+    if i_obs_tot is not None and cfg.print_sed:
+        sed_dust = SED.calc_sed(
+            grid, i_obs_tot, cfg.dist_obs, "W/m/pc^2/sr",
+            lambda_si=wl.lambda_si[wl.dust_slice],
+        )
+    if i_obs_tot is not None and cfg.print_maps and dir_out is not None:
+        i_rng = wl.i_lambda_dust
+        lam_idx = (
+            [i - i_rng[0] for i in cfg.ind_out_maps if i_rng[0] <= i <= i_rng[1]]
+            if cfg.ind_out_maps
+            else list(range(Ld))
+        )
+        if lam_idx:
+            mlist = []
+            for j, (th, ph) in enumerate(np.asarray(dir_out)):
+                m = MAPS.make_map(
+                    grid, i_obs_tot[:, j, :], th, ph,
+                    cfg.npixel_maps, cfg.map_size_factor,
+                )
+                mlist.append(
+                    MAPS.convert_map_to_MJy_sr(
+                        m[..., lam_idx], "W/m/pc^2/sr",
+                        lambda_si=wl.lambda_si[wl.dust_slice][lam_idx],
+                    )
+                )
+            maps_dust = np.stack(mlist)
+
+    return DustRTResult(
+        u_dust=u_dust,
+        dens_stars_dust=dens_prev,
+        t_dust=np.asarray(t_dust) if t_dust is not None else None,
+        i_obs=i_obs_tot,
+        i_obs_in=i_obs_in_tot,
+        sed_dust=sed_dust,
+        maps_dust=maps_dust,
+        iterations=it,
+        converged=converged,
     )
