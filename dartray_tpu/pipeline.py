@@ -503,3 +503,90 @@ def run_dust_rt(
         iterations=it,
         converged=converged,
     )
+
+
+def run_sed_algorithm(grid, cfg, wl, files, n_point: int = 0, src_host=None,
+                      lambda_range: str = "stars", dir_out=None):
+    """'sed' rt_algorithm: recompute integrated SEDs and maps from i_obs
+    files written by a previous run (calc_sed_arrays, sed_routines.f90:161-208
+    and dartray_sed, dartray_hub.f90:171)."""
+    from . import io_output as OUT
+
+    sl = wl.stellar_slice if lambda_range == "stars" else wl.dust_slice
+    n_sid = grid.n_cells + n_point
+    ndir = len(dir_out) if dir_out is not None else 1
+    i_obs = OUT.read_field_per_lambda(files, "i_obs", (n_sid, ndir))
+    if lambda_range == "dust":
+        units = "W/m/pc^2/sr"
+    else:
+        units = (
+            "erg/s/Hz/pc^2/sr" if cfg.units_luminosity == "erg/s/Hz" else "W/Hz/pc^2/sr"
+        )
+    sed = SED.calc_sed(grid, i_obs, cfg.dist_obs, units, src_host=src_host,
+                       lambda_si=wl.lambda_si[sl])
+    maps_out = None
+    if cfg.print_maps and dir_out is not None:
+        mlist = []
+        for j, (th, ph) in enumerate(np.asarray(dir_out)):
+            m = MAPS.make_map(grid, i_obs[:, j, :], th, ph,
+                              cfg.npixel_maps, cfg.map_size_factor)
+            mlist.append(MAPS.convert_map_to_MJy_sr(m, units,
+                                                    lambda_si=wl.lambda_si[sl]))
+        maps_out = np.stack(mlist)
+    return sed, maps_out
+
+
+def run_iobs_algorithm(grid, cfg, wl, dust, scaspe_tot, scfg, dir_out=None,
+                       pos_obs=None, dens_stars_arr=None, p_src_pos=None,
+                       p_src_lum=None, lambda_range: str = "stars"):
+    """'i_obs' rt_algorithm: observer intensities for arbitrary new
+    directions from a saved scattering source function, plus the direct
+    light, without redoing the RT (rt_algorithm 'i_obs',
+    rt_routines.f90:44; rt_loop_iobs with scaspe_tot).
+
+    Note: the new directions are not part of the scaspe observer pixels, so
+    the scattered launch luminosity uses the HEALPix pixel containing each
+    direction (assign_src_lum), exactly as the reference does in this mode.
+    """
+    from .rt import scattering as SC
+
+    sl = wl.stellar_slice if lambda_range == "stars" else wl.dust_slice
+    L = wl.lnum_stars if lambda_range == "stars" else wl.lnum_dust
+    phys = make_physics(grid, dust, sl)
+
+    n_point = len(p_src_pos) if p_src_pos is not None else 0
+    n_sid = grid.n_cells + n_point
+    i_obs = np.zeros((n_sid, len(dir_out), L)) if dir_out is not None else None
+    i_obs_in = np.zeros((n_sid, len(pos_obs), L)) if pos_obs is not None else None
+
+    # direct light of the original sources
+    sources = []
+    if dens_stars_arr is not None and np.asarray(dens_stars_arr).sum() > 0:
+        sources.append(E.cell_sources(grid, dens_stars_arr))
+    if n_point:
+        sources.append(E.point_source_set(grid, p_src_pos, p_src_lum))
+    for s in sources:
+        i_obs, i_obs_in = E.run_iobs_stage(
+            grid, phys, s, dir_out=dir_out, pos_obs=pos_obs,
+            i_obs=i_obs, i_obs_in=i_obs_in, n_sid=n_sid,
+        )
+
+    # scattered light from scaspe_tot
+    scaspe_tot = np.asarray(scaspe_tot)
+    lumcell_sca = scaspe_tot[:, : scfg.npix_hp, :].sum(axis=1)
+    leaf = np.asarray(grid.leaf_mask())
+    sel = np.flatnonzero(leaf & (lumcell_sca.sum(axis=1) > 0))
+    if len(sel):
+        sca_sources = E.SourceSet(
+            pos=np.asarray(grid.ccoord)[sel], cell=sel, sid=sel,
+            lum=lumcell_sca[sel], point=False,
+        )
+
+        def ang_fn(theta, phi, cells):
+            return SC.assign_src_lum(scfg, scaspe_tot, cells, theta, phi)
+
+        i_obs, i_obs_in = E.run_iobs_stage(
+            grid, phys, sca_sources, dir_out=dir_out, pos_obs=pos_obs,
+            i_obs=i_obs, i_obs_in=i_obs_in, n_sid=n_sid, src_lum_fn=ang_fn,
+        )
+    return i_obs, i_obs_in
