@@ -177,7 +177,7 @@ def run_field_stage(
         )
         launch = R.fresh_launch(sub.pos, sub.cell, np.arange(sub.n) + c0, sub.lum)
 
-        def march_fn(batch, nside, _d=None):
+        def march_fn(batch, nside, _d=None, max_steps=1 << 30):
             nonlocal u, lum_lost, scaspe
             beam_i = 4.0 * np.pi / (12 * nside * nside)
             kw = dict(
@@ -192,6 +192,7 @@ def run_field_stage(
                 cs=phys.cs,
                 wall_lo=wall_lo,
                 wall_hi=wall_hi,
+                max_steps=max_steps,
             )
             if scaspe_weights_fn is not None:
                 ads, hgn = scaspe_weights_fn(_d, nside)
@@ -223,35 +224,69 @@ def run_field_stage(
     return StageResult(u=u, lum_lost=lum_lost, stats=stats, scaspe=scaspe)
 
 
-def _run_ladder_with_d(march_fn, launch, L, fdtype, stats, src_lum_fn=None):
-    """run_ladder wrapper passing the host dict to march_fn (needed for
-    per-ray angular weights in the scattering stage)."""
+STEP_CHUNK = 96  # march steps per kernel call before compaction
 
-    def wrapped(batch, nside, d=None):
-        return march_fn(batch, nside, d)
+
+def _run_ladder_with_d(march_fn, launch, L, fdtype, stats, src_lum_fn=None,
+                       step_chunk: int = STEP_CHUNK):
+    """run_ladder wrapper passing the host dict to march_fn (needed for
+    per-ray angular weights in the scattering stage).
+
+    Rays are marched in chunks of `step_chunk` intersections; the survivors
+    are compacted and re-queued in (usually much smaller) batches.  Without
+    this, lock-step efficiency is avg_steps/max_steps over the batch — a few
+    percent for deep grids."""
+
+    def wrapped(batch, nside, d=None, max_steps=1 << 30):
+        return march_fn(batch, nside, d, max_steps)
 
     # re-implement the small ladder loop locally to give march_fn access to
     # the host-side dict
     high, low = {}, {}
 
     def do_march(d, nside):
-        n = len(d["src_cell"])
-        if n == 0:
-            return
-        if src_lum_fn is not None and np.any(d["fresh"]):
-            lum = src_lum_fn(d, nside)
-            d = dict(d)
-            d["lum"] = np.where(d["fresh"][:, None], lum, d["lum"])
-        batch = R._to_batch(d, L, pad_to=R._bucket(n), fdtype=fdtype)
-        res = wrapped(batch, nside, d)
-        stats["rays"] = stats.get("rays", 0) + n
-        stats["steps"] = stats.get("steps", 0) + int(np.asarray(res.n_steps))
-        b_high = R.collect_blocked(d, res, M.ST_HIGH)
-        b_low = R.collect_blocked(d, res, M.ST_LOW)
-        if b_high.n:
-            high.setdefault(nside, []).append(b_high)
-        if b_low.n:
-            low.setdefault(nside, []).append(b_low)
+        while d is not None and len(d["src_cell"]) > 0:
+            n = len(d["src_cell"])
+            if src_lum_fn is not None and np.any(d["fresh"]):
+                lum = src_lum_fn(d, nside)
+                d = dict(d)
+                if R._is_dev(d["lum"]) or R._is_dev(lum):
+                    d["lum"] = jnp.where(
+                        jnp.asarray(d["fresh"])[:, None], jnp.asarray(lum), jnp.asarray(d["lum"])
+                    )
+                else:
+                    d["lum"] = np.where(d["fresh"][:, None], lum, d["lum"])
+            batch = R._to_batch(d, L, pad_to=R._bucket(n), fdtype=fdtype)
+            res = wrapped(batch, nside, d, step_chunk)
+            stats["rays"] = stats.get("rays", 0) + n
+            stats["steps"] = stats.get("steps", 0) + int(np.asarray(res.n_steps))
+            b_high = R.collect_blocked(d, res, M.ST_HIGH)
+            b_low = R.collect_blocked(d, res, M.ST_LOW)
+            if b_high.n:
+                high.setdefault(nside, []).append(b_high)
+            if b_low.n:
+                low.setdefault(nside, []).append(b_low)
+            # continuation: rays still in flight after step_chunk steps
+            st = np.asarray(res.status)[:n]
+            act = np.flatnonzero(st == M.ST_ACTIVE)
+            stats["rays"] -= len(act)  # don't double-count resumed rays
+            if len(act) == 0:
+                return
+            d = dict(
+                src_pos=np.asarray(d["src_pos"])[act],
+                src_cell=np.asarray(d["src_cell"])[act],
+                src_idx=np.asarray(d["src_idx"])[act],
+                ipix=np.asarray(d["ipix"])[act],
+                theta=np.asarray(d["theta"])[act],
+                phi=np.asarray(d["phi"])[act],
+                lum=jnp.take(res.lum, jnp.asarray(act), axis=0),
+                prev=np.asarray(res.prev)[act],
+                cc_old=np.asarray(res.cc_cur)[act],
+                isel_old=np.asarray(res.isel_cur)[act],
+                dplane=np.zeros(len(act)),
+                fresh=np.zeros(len(act), dtype=bool),
+                seen_other=np.asarray(res.seen_other)[act],
+            )
 
     do_march(launch, R.NSIDE_MIN)
     while True:

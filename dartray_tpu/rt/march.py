@@ -62,6 +62,7 @@ class RayBatch:
     cc_old: jax.Array  # (NR,) int32 last intersected cell (relaunch anchor)
     isel_old: jax.Array  # (NR,) int32 axis of last crossing (-1 = none)
     fresh: jax.Array  # (NR,) bool: ray starts at its source
+    seen_other: jax.Array  # (NR,) bool: ray already left its start cell
     active: jax.Array  # (NR,) bool
 
     @property
@@ -81,9 +82,12 @@ class MarchResult:
     lum_lost: jax.Array  # (L,) luminosity killed by the f_U criterion
     i_obs: jax.Array  # (NR,L) exit intensity (iobs modes)
     n_steps: jax.Array  # () total ray-cell intersections processed
-    trace_cells: jax.Array | None  # (NR,S) int32 visited cells (if traced)
-    trace_lengths: jax.Array | None  # (NR,S) intersection lengths
-    trace_count: jax.Array | None  # (NR,) number of trace entries
+    cc_cur: jax.Array = None  # (NR,) current cell (for ST_ACTIVE continuation)
+    isel_cur: jax.Array = None  # (NR,) current entry axis
+    seen_other: jax.Array = None  # (NR,) flag_beam state for continuation
+    trace_cells: jax.Array = None  # (NR,S) int32 visited cells (if traced)
+    trace_lengths: jax.Array = None  # (NR,S) intersection lengths
+    trace_count: jax.Array = None  # (NR,) number of trace entries
 
 
 def _dir_components(theta, phi):
@@ -212,7 +216,7 @@ def march(
         isel_old=rays.isel_old.astype(jnp.int32),
         intensity=intensity0,
         flag_beam=jnp.ones((NR,), dtype=bool),
-        seen_other=jnp.zeros((NR,), dtype=bool),  # crossed a non-start cell
+        seen_other=jnp.asarray(rays.seen_other, dtype=bool),
         active=active0,
         status=status0.astype(jnp.int32),
         # blocking records
@@ -498,6 +502,9 @@ def march(
         lum_lost=out["lum_lost"],
         i_obs=out["i_obs"],
         n_steps=out["n_steps"],
+        cc_cur=out["cc"],
+        isel_cur=out["isel_old"],
+        seen_other=out["seen_other"],
         trace_cells=out.get("trace_cells"),
         trace_lengths=out.get("trace_lengths"),
         trace_count=out.get("trace_count"),

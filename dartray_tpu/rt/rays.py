@@ -21,7 +21,24 @@ import dataclasses
 from typing import Callable, Dict, List
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+
+
+def _is_dev(a):
+    return isinstance(a, jax.Array)
+
+
+def _take(a, idx):
+    return jnp.take(a, jnp.asarray(idx), axis=0) if _is_dev(a) else np.asarray(a)[idx]
+
+
+def _repeat(a, k):
+    return jnp.repeat(a, k, axis=0) if _is_dev(a) else np.repeat(a, k, axis=0)
+
+
+def _concat(parts):
+    return jnp.concatenate(parts) if any(_is_dev(x) for x in parts) else np.concatenate(parts)
 
 from .. import healpix as hp
 from .march import RayBatch, MarchResult, ST_HIGH, ST_LOW, ST_GONE, march
@@ -63,7 +80,7 @@ class Blocked:
             return None
         return cls(
             **{
-                f.name: np.concatenate([getattr(b, f.name) for b in items])
+                f.name: _concat([getattr(b, f.name) for b in items])
                 for f in dataclasses.fields(cls)
             }
         )
@@ -97,6 +114,7 @@ def fresh_launch(src_pos, src_cell, src_idx, lum, nside=NSIDE_MIN, pix_subset=No
         isel_old=np.full(ns * npix, -1, dtype=np.int64),
         dplane=np.zeros(ns * npix),
         fresh=np.ones(ns * npix, dtype=bool),
+        seen_other=np.zeros(ns * npix, dtype=bool),
     )
 
 
@@ -107,6 +125,11 @@ def _to_batch(d, L, pad_to=None, fdtype=jnp.float64):
     pad = m - n
 
     def p(a, fill=0):
+        if _is_dev(a):
+            if pad:
+                w = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+                a = jnp.pad(a, w, constant_values=fill)
+            return a
         a = np.asarray(a)
         if pad == 0:
             return a
@@ -124,6 +147,7 @@ def _to_batch(d, L, pad_to=None, fdtype=jnp.float64):
         cc_old=jnp.asarray(p(d["cc_old"]), dtype=jnp.int32),
         isel_old=jnp.asarray(p(d["isel_old"]), dtype=jnp.int32),
         fresh=jnp.asarray(p(d["fresh"]), dtype=bool),
+        seen_other=jnp.asarray(p(d.get("seen_other", np.zeros(n, dtype=bool))), dtype=bool),
         active=jnp.asarray(np.arange(m) < n),
     )
 
@@ -150,12 +174,13 @@ def split_high(blocked: Blocked, nside: int):
         ipix=child_pix,
         theta=np.asarray(theta),
         phi=np.asarray(phi),
-        lum=rep(blocked.lum),
+        lum=_repeat(blocked.lum, 4),
         prev=rep(blocked.prev),
         cc_old=rep(blocked.cc_old),
         isel_old=rep(blocked.isel_old),
         dplane=rep(blocked.dplane),
         fresh=np.zeros(4 * n, dtype=bool),
+        seen_other=np.zeros(4 * n, dtype=bool),
     )
 
 
@@ -174,36 +199,33 @@ def merge_low(blocked: Blocked, nside: int):
     key = (blocked.src_idx.astype(np.int64) * (12 * nside * nside // 4) + parent) * 4 + blocked.isel_old
     order = np.lexsort((blocked.dplane, key))
     k = key[order]
-    d = blocked.dplane[order]
-    # run starts
+    # vectorized grouping: within each sorted key-run, consecutive 4-tuples
+    # with matching dplane merge (the reference matches each leader with up
+    # to 3 later entries, ray_list.f90:237-269; dplane-sorted quadruples are
+    # equivalent up to ties)
     starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    run_id = np.cumsum(np.r_[True, k[1:] != k[:-1]]) - 1
+    pos = np.arange(n) - starts[run_id]
+    quad = pos // 4
     counts = np.diff(np.r_[starts, n])
-
-    merged_rows: List[np.ndarray] = []
-    reco_rows: List[np.ndarray] = []
-    for s, c in zip(starts, counts):
-        rows = order[s : s + c]
-        # greedy grouping into consecutive 4-tuples with matching dplane
-        # (the reference matches each leader with up to 3 later entries,
-        # ray_list.f90:237-269; dplane-sorted greedy grouping is equivalent
-        # up to ties)
-        i = 0
-        while i + 4 <= c:
-            cand = rows[i : i + 4]
-            lead = blocked.dplane[cand[0]]
-            ok = np.abs(blocked.dplane[cand] - lead) <= 0.001 * max(abs(lead), 1e-300)
-            if ok.all():
-                merged_rows.append(cand)
-                i += 4
-            else:
-                reco_rows.append(rows[i : i + 1])
-                i += 1
-        if i < c:
-            reco_rows.append(rows[i:])
+    full_quad = (quad + 1) * 4 <= counts[run_id]  # quad fully inside the run
+    # dplane tolerance vs the quad leader
+    dpl = blocked.dplane[order]
+    lead_idx = starts[run_id] + quad * 4
+    lead = dpl[np.clip(lead_idx, 0, n - 1)]
+    tol_ok = np.abs(dpl - lead) <= 0.001 * np.maximum(np.abs(lead), 1e-300)
+    # a quad merges iff all four members are in tolerance
+    qkey = run_id * (n + 1) + quad
+    uq, inv = np.unique(qkey, return_inverse=True)
+    ok_per_quad = np.zeros(len(uq), dtype=np.int64)
+    np.add.at(ok_per_quad, inv, (tol_ok & full_quad).astype(np.int64))
+    merge_mask = ok_per_quad[inv] == 4
+    merged_idx = order[merge_mask]
+    rr = order[~merge_mask]
 
     L = blocked.lum.shape[1]
-    if merged_rows:
-        mr = np.stack(merged_rows)  # (m, 4)
+    if merged_idx.size:
+        mr = merged_idx.reshape(-1, 4)  # (m, 4)
         ppix = parent[mr[:, 0]]
         theta, phi = hp.pix2ang_nest(nside // 2, ppix)
         merged = dict(
@@ -213,18 +235,20 @@ def merge_low(blocked: Blocked, nside: int):
             ipix=ppix,
             theta=np.asarray(theta),
             phi=np.asarray(phi),
-            lum=blocked.lum[mr].mean(axis=1),
+            lum=(jnp.take(blocked.lum, jnp.asarray(mr.ravel()), axis=0)
+                 .reshape(len(mr), 4, L).mean(axis=1)
+                 if _is_dev(blocked.lum) else blocked.lum[mr].mean(axis=1)),
             prev=blocked.prev[mr].mean(axis=1),
             cc_old=blocked.cc_old[mr[:, 0]],
             isel_old=blocked.isel_old[mr[:, 0]],
             dplane=blocked.dplane[mr[:, 0]],
             fresh=np.zeros(len(mr), dtype=bool),
+            seen_other=np.zeros(len(mr), dtype=bool),
         )
     else:
         merged = None
 
-    if reco_rows:
-        rr = np.concatenate(reco_rows)
+    if rr.size:
         reco = dict(
             src_pos=blocked.src_pos[rr],
             src_cell=blocked.src_cell[rr],
@@ -232,12 +256,13 @@ def merge_low(blocked: Blocked, nside: int):
             ipix=blocked.ipix[rr],
             theta=blocked.theta[rr],
             phi=blocked.phi[rr],
-            lum=blocked.lum[rr],
+            lum=_take(blocked.lum, rr),
             prev=blocked.prev[rr],
             cc_old=blocked.cc_old[rr],
             isel_old=blocked.isel_old[rr],
             dplane=blocked.dplane[rr],
             fresh=np.zeros(len(rr), dtype=bool),
+            seen_other=np.zeros(len(rr), dtype=bool),
         )
     else:
         reco = None
@@ -246,10 +271,16 @@ def merge_low(blocked: Blocked, nside: int):
 
 def collect_blocked(d: dict, res: MarchResult, status: int) -> Blocked:
     """Extract the rays that finished the march with `status` into a
-    host-side Blocked record (luminosity/prev taken at the blocking point)."""
+    host-side Blocked record (luminosity/prev taken at the blocking point).
+
+    The row selection happens on-device so only the blocked rows cross the
+    host link (the full (NR, L) luminosity array is the big one)."""
     st = np.asarray(res.status)
     nin = len(d["src_cell"])
     sel = np.flatnonzero(st[:nin] == status)
+    if len(sel) == 0:
+        return Blocked.empty(res.lum.shape[1])
+    dsel = jnp.asarray(sel)
     return Blocked(
         src_pos=np.asarray(d["src_pos"])[sel],
         src_cell=np.asarray(d["src_cell"])[sel],
@@ -257,11 +288,11 @@ def collect_blocked(d: dict, res: MarchResult, status: int) -> Blocked:
         ipix=np.asarray(d["ipix"])[sel],
         theta=np.asarray(d["theta"])[sel],
         phi=np.asarray(d["phi"])[sel],
-        lum=np.asarray(res.lum)[sel],
-        prev=np.asarray(res.prev)[sel],
-        cc_old=np.asarray(res.cc)[sel],
-        isel_old=np.asarray(res.isel_old)[sel],
-        dplane=np.asarray(res.dplane)[sel],
+        lum=jnp.take(res.lum, dsel, axis=0),
+        prev=np.asarray(jnp.take(res.prev, dsel)),
+        cc_old=np.asarray(jnp.take(res.cc, dsel)),
+        isel_old=np.asarray(jnp.take(res.isel_old, dsel)),
+        dplane=np.asarray(jnp.take(res.dplane, dsel)),
     )
 
 
