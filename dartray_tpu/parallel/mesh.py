@@ -40,7 +40,8 @@ def sharded_march_u(mesh: Mesh, grid: Grid, dens_ref, kext_norm, albedo, batch, 
     ray_specs = M.RayBatch(
         src_pos=P("rays"), src_cell=P("rays"), theta=P("rays"), phi=P("rays"),
         ipix=P("rays"), lum=P("rays", None), prev=P("rays"), cc_old=P("rays"),
-        isel_old=P("rays"), fresh=P("rays"), active=P("rays"),
+        isel_old=P("rays"), fresh=P("rays"), seen_other=P("rays"),
+        active=P("rays"),
     )
 
     def local(dens_ref, kext_norm, albedo, ufest, u0, b):
