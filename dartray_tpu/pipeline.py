@@ -107,13 +107,13 @@ def run_direct_light(
 
     # ---- direct light (rtt_dir_*) ----
     scaspe = None
-    weights_fn = None
     if collect_scaspe:
         from .rt import scattering as SC
 
-        scaspe_cfg = scaspe_cfg or SC.ScaspeConfig.from_run_config(cfg, dust, wl, dir_out)
-        scaspe = jnp.zeros((grid.n_cells, scaspe_cfg.npix_tot, L), dtype=fdtype)
-        weights_fn = scaspe_cfg.weights_fn(phys)
+        scaspe_cfg = scaspe_cfg or SC.ScaspeConfig.from_run_config(
+            cfg, dust, wl, dir_out, lambda_range
+        )
+        scaspe = scaspe_cfg.zeros(grid.n_cells, fdtype)
 
     u_final = (
         jnp.zeros((grid.n_cells, L), dtype=fdtype)
@@ -126,8 +126,8 @@ def run_direct_light(
             grid, phys, s, mode=M.MODE_DIRECT, u_fest=u_fest, u_init=u_final,
             en_lim=en_lim, bm_par=bm_par, bm_par_max=cfg.bm_par_max,
             wall_lo=wall_lo, wall_hi=wall_hi, chunk=chunk,
-            scaspe_weights_fn=weights_fn, scaspe_init=scaspe,
-            scaspe_npix_hp=scaspe_cfg.npix_hp if scaspe_cfg else 0,
+            scaspe_cfg=scaspe_cfg if collect_scaspe else None,
+            scaspe_init=scaspe,
         )
         u_final = r.u
         if collect_scaspe:
@@ -246,7 +246,7 @@ def run_main(
     if bm_par is None:
         bm_par = cfg.bm_par
     phys = make_physics(grid, dust, sl)
-    scfg = SC.ScaspeConfig.make(cfg.kp_sca_max, dir_out)
+    scfg = SC.ScaspeConfig.make(cfg.kp_sca_max, np.asarray(dust.gsca)[sl], dir_out)
 
     direct = run_direct_light(
         grid, cfg, wl, dust,
@@ -284,7 +284,7 @@ def run_main(
             wall_lo=wall_lo, wall_hi=wall_hi, chunk=chunk,
         )
         u_tot = np.asarray(sres.u_final)
-        scaspe_tot = np.asarray(sres.scaspe_tot)
+        scaspe_tot = SC.ScaspeConfig.asarray(sres.scaspe_tot)
         iters, conv = sres.iterations, sres.converged
         lum_lost = direct.lum_lost + sres.lum_lost
 
@@ -293,7 +293,7 @@ def run_main(
         i_obs_tot = direct.i_obs.copy() if direct.i_obs is not None else None
         i_obs_in_tot = direct.i_obs_in.copy() if direct.i_obs_in is not None else None
         if i_obs_tot is not None or i_obs_in_tot is not None:
-            lumcell_sca = scaspe_tot[:, : scfg.npix_hp, :].sum(axis=1)
+            lumcell_sca = scfg.lumcell(scaspe_tot)
             leaf = np.asarray(grid.leaf_mask())
             sel = np.flatnonzero(leaf & (lumcell_sca.sum(axis=1) > 0))
             sca_sources = E.SourceSet(
@@ -302,10 +302,10 @@ def run_main(
             )
 
             def dir_fn(j, cells):
-                return scaspe_tot[cells, scfg.npix_hp + j, :] * scfg.npix_hp
+                return scfg.obs_lum(scaspe_tot, cells, j)
 
             def ang_fn(theta, phi, cells):
-                return SC.assign_src_lum(scfg, scaspe_tot, cells, theta, phi)
+                return scfg.assign_src_lum(scaspe_tot, cells, theta, phi)
 
             i_obs_tot, i_obs_in_tot = E.run_iobs_stage(
                 grid, phys, sca_sources, dir_out=dir_out, pos_obs=pos_obs,
@@ -571,9 +571,8 @@ def run_iobs_algorithm(grid, cfg, wl, dust, scaspe_tot, scfg, dir_out=None,
             i_obs=i_obs, i_obs_in=i_obs_in, n_sid=n_sid,
         )
 
-    # scattered light from scaspe_tot
-    scaspe_tot = np.asarray(scaspe_tot)
-    lumcell_sca = scaspe_tot[:, : scfg.npix_hp, :].sum(axis=1)
+    # scattered light from scaspe_tot (per-bucket tuple)
+    lumcell_sca = scfg.lumcell(scaspe_tot)
     leaf = np.asarray(grid.leaf_mask())
     sel = np.flatnonzero(leaf & (lumcell_sca.sum(axis=1) > 0))
     if len(sel):
@@ -583,7 +582,7 @@ def run_iobs_algorithm(grid, cfg, wl, dust, scaspe_tot, scfg, dir_out=None,
         )
 
         def ang_fn(theta, phi, cells):
-            return SC.assign_src_lum(scfg, scaspe_tot, cells, theta, phi)
+            return scfg.assign_src_lum(scaspe_tot, cells, theta, phi)
 
         i_obs, i_obs_in = E.run_iobs_stage(
             grid, phys, sca_sources, dir_out=dir_out, pos_obs=pos_obs,

@@ -143,9 +143,8 @@ def run_field_stage(
     wall_hi=(np.inf,) * 3,
     chunk: int = 32,
     fdtype=None,
-    scaspe_weights_fn=None,  # (batch_dict, nside) -> (ads, hg_norm); enables scaspe deposits
-    scaspe_init=None,  # (ncell, P, L)
-    scaspe_npix_hp: int = 0,  # number of HEALPix pixels in the scaspe P axis
+    scaspe_cfg=None,  # ScaspeConfig; enables per-bucket scaspe deposits
+    scaspe_init=None,  # tuple of (ncell, P_k, L_k) per-bucket accumulators
     src_lum_fn=None,  # optional (batch_dict, nside) -> (NR,L) per-ray luminosity override
 ) -> StageResult:
     """Run one radiation-field stage (precalc or direct) over all sources."""
@@ -166,6 +165,9 @@ def run_field_stage(
     kext_norm = jnp.asarray(phys.kext_norm, dtype=fdtype)
     albedo = jnp.asarray(phys.albedo, dtype=fdtype)
     rad_lim_dist = rad_lim * grid.modelsize if mode == M.MODE_PRECALC else np.inf
+    scaspe_lam_idx = (
+        scaspe_cfg.lam_idx_tuple() if scaspe_cfg is not None else None
+    )
 
     for c0 in range(0, sources.n, chunk):
         sub = SourceSet(
@@ -194,19 +196,21 @@ def run_field_stage(
                 wall_hi=wall_hi,
                 max_steps=max_steps,
             )
-            if scaspe_weights_fn is not None:
-                ads, hgn = scaspe_weights_fn(_d, nside)
-                npad = batch.n - ads.shape[0]
+            if scaspe_cfg is not None:
+                ffn = scaspe_cfg.ffn(
+                    np.asarray(_d["theta"]), np.asarray(_d["phi"]),
+                    np.asarray(phys.gsca),
+                )
+                npad = batch.n - ffn[0].shape[0]
                 if npad > 0:
-                    ads = np.pad(ads, ((0, npad), (0, 0)))
-                    hgn = np.pad(hgn, ((0, npad), (0, 0)), constant_values=1.0)
+                    ffn = tuple(
+                        np.pad(f, ((0, npad), (0, 0), (0, 0))) for f in ffn
+                    )
                 u_new, res, scaspe_new = M.march(
                     grid, dens_ref, kext_norm, albedo, u_fest, u, batch,
                     collect_en_sca=True,
-                    gsca=jnp.asarray(phys.gsca, dtype=fdtype),
-                    en_sca_ads=jnp.asarray(ads, dtype=fdtype),
-                    hg_norm=jnp.asarray(hgn, dtype=fdtype),
-                    npix_hp=scaspe_npix_hp,
+                    ffn=tuple(jnp.asarray(f, dtype=fdtype) for f in ffn),
+                    scaspe_lam_idx=scaspe_lam_idx,
                     scaspe_accum=scaspe,
                     **kw,
                 )

@@ -103,7 +103,6 @@ def _dir_components(theta, phi):
         "trace_steps",
         "collect_en_sca",
         "allow_block",
-        "npix_hp",
     ),
 )
 def march(
@@ -130,20 +129,20 @@ def march(
     max_steps: int = 100000,
     trace_steps: int = 0,  # record (cell, length) per intersection if > 0
     collect_en_sca: bool = False,  # also accumulate scattered energy per step
-    gsca=None,  # (L,) HG asymmetry per wavelength
-    en_sca_ads=None,  # (NR, P) cos(angle) ray-direction vs scaspe directions
-    hg_norm=None,  # (NR, L) HG normalization sum over the npix_hp pixels
-    npix_hp: int = 1,  # static: number of HEALPix pixels in the scaspe axis
-    scaspe_accum=None,  # (ncell, P, L) scattering source accumulator
+    ffn=None,  # tuple of (NR, P_k, L_k) per-bucket HG deposition weights
+    scaspe_lam_idx=None,  # tuple of (L_k,) int32 wavelength indices per bucket
+    scaspe_accum=None,  # tuple of (ncell, P_k, L_k) accumulators
 ):
     """Advance every ray to completion (exit / kill / block).
 
     Returns (u_accum, MarchResult[, scaspe_accum]).
 
     The scattering deposit path (collect_en_sca) adds, for every
-    intersection, ``en_sca(ray, lambda) * weights(ray, pix)`` into
-    ``scaspe_accum[cell, pix, lambda]`` — the vectorized equivalent of
-    process_scatt_rad (rt_routines.f90:2638-2726).
+    intersection and every kp bucket, ``en_sca(ray, lambda in bucket) *
+    ffn(ray, pix)`` into ``scaspe_accum[k][cell, pix, lambda]`` — the
+    vectorized equivalent of process_scatt_rad (rt_routines.f90:2638-2726).
+    The HG weights ffn depend only on the (fixed) ray direction, so they are
+    precomputed per kernel call (calc_ffn_arr, rt:2186-2281).
     """
     NR = rays.n
     L = kext_norm.shape[0]
@@ -355,20 +354,14 @@ def march(
             en_sca = jnp.where(is_src_cell[:, None], en_own, en_ext)
             en_sca = en_sca * albedo[None, :] * area_i[:, None] * beam_i
             en_sca = jnp.where(do_dep[:, None], en_sca, 0.0)
-            # Henyey-Greenstein deposition weights per (ray, pixel, lambda)
-            # (calc_ffn_arr rt_routines.f90:2186-2281): normalized over the
-            # npix_hp HEALPix pixels; isotropic lambdas (|g|<2e-3) get
-            # uniform 1/npix_hp
-            g = gsca[None, None, :]
-            iso = jnp.abs(gsca) < 2e-3
-            ffn_aniso = (
-                (1.0 - g**2)
-                / npix_hp
-                * (1.0 + g**2 - 2.0 * g * en_sca_ads[:, :, None]) ** (-1.5)
-            ) / jnp.maximum(hg_norm[:, None, :], 1e-300)
-            ffn = jnp.where(iso[None, None, :], 1.0 / npix_hp, ffn_aniso)
-            # scaspe[cell, pix, lambda] += en_sca[ray, lambda] * ffn[ray, pix, lambda]
-            s_scaspe = s["scaspe"].at[ccs].add(ffn * en_sca[:, None, :])
+            # per-bucket deposit: scaspe_k[cell, pix, lam] +=
+            #   en_sca[ray, lam in bucket] * ffn_k[ray, pix, lam]
+            s_scaspe = tuple(
+                sk.at[ccs].add(
+                    ffn_k * jnp.take(en_sca, idx_k, axis=1)[:, None, :]
+                )
+                for sk, ffn_k, idx_k in zip(s["scaspe"], ffn, scaspe_lam_idx)
+            )
 
         if do_trace:
             tc = jnp.clip(s["trace_count"], 0, trace_steps - 1)

@@ -4,16 +4,20 @@ Rebuild of create_scaspe / set_npix_arr / calc_ffn_arr / assign_src_lum and
 the rtt_scatt iteration loop (rt_routines.f90:2784-2852, 5235-5315,
 2186-2281, 3043-3071; dartray_hub.f90:45-52).
 
-Layout decision (differs from the reference deliberately): the reference
-stores scaspe per wavelength with *adaptive* angular resolution — kp(lambda)
-chosen so >= 5 pixels sample the Henyey-Greenstein FWHM, capped at
-kp_sca_max (set_npix_arr) — which gives ragged per-lambda arrays.  The TPU
-rebuild uses one dense tensor (ncell, P, L) with P = 12*4^kp_sca_max +
-tot_ndir for every wavelength: wavelengths whose reference kp would be
-smaller (or isotropic) simply carry *more* angular resolution than the
-reference, converging to the same scattered field.  This keeps every
-deposit/lookup a dense gather/scatter.  kp-bucketed ragged storage is the
-planned memory optimization for large L (SURVEY.md §7 hard part 6).
+Layout: per-wavelength adaptive angular resolution exactly like the
+reference's set_npix_arr (rt_routines.f90:5235-5315) — kp(lambda) chosen so
+>= 5 HEALPix pixels sample the Henyey-Greenstein FWHM, capped at kp_sca_max,
+and a single pixel for isotropic wavelengths (|g| < 2e-3).  Wavelengths are
+grouped into *kp buckets* (the reference's npix_unique grouping,
+rt:5281-5311): the scattering source function is a tuple of dense tensors,
+one per bucket, of shape (ncell, npix_hp_k + tot_ndir, L_k).  This is both
+the memory lever (isotropic IR wavelengths cost 1 pixel, not 12*4^kp) and
+the deposit-throughput lever (the per-step scatter-add shrinks by the same
+factor).
+
+The Henyey-Greenstein deposition weights (calc_ffn_arr) depend only on the
+*ray direction* — constant along a ray — so they are computed once per march
+kernel call, outside the traversal loop.
 
 The scattering iterations run in the reference's sequential_scattering
 (Jacobi) mode (rt_routines.f90:272): each iteration propagates the
@@ -24,7 +28,7 @@ order-independent, which is what a data-parallel TPU pass needs
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -35,94 +39,204 @@ from ..grid.octree import Grid
 from . import march as M
 from . import engine as E
 
+G_ISO_THRESHOLD = 2e-3  # g_th (rt_routines.f90:5246)
+NMIN_FWHM = 5  # pixels within the HG FWHM (rt:5244)
+
+
+def npix_plan(gsca, kp_sca_max: int):
+    """Per-wavelength HEALPix k parameter for the scaspe arrays
+    (set_npix_arr, rt_routines.f90:5235-5315).
+
+    Returns (kp_arr (L,) int, npix_hp_arr (L,) int); kp = -1 marks isotropic
+    wavelengths (|g| < 2e-3) which get a single pixel."""
+    g = np.abs(np.asarray(gsca, dtype=np.float64))
+    kp = np.full(g.shape, -1, dtype=np.int64)
+    npix = np.ones(g.shape, dtype=np.int64)
+    aniso = g >= G_ISO_THRESHOLD
+    ga = np.where(aniso, g, 0.5)  # placeholder to keep formulas finite
+    pmax = (1 - ga**2) / (1 + ga**2 - 2 * ga) ** 1.5
+    pmin = (1 - ga**2) / (1 + ga**2 + 2 * ga) ** 1.5
+    cos_hm = ((2 * (1 - ga**2) / (pmax + pmin)) ** (2.0 / 3.0) - (1 + ga**2)) / (
+        -2 * ga
+    )
+    fwhm = 2 * np.arccos(np.clip(cos_hm, -1.0, 1.0))
+    delta_min = fwhm / NMIN_FWHM
+    k_min = (
+        1.0 / (2 * np.log10(2.0)) * np.log10(4 * np.pi / (12 * delta_min**2))
+    ).astype(np.int64)  # int() truncation as in the reference
+    k_min = np.minimum(k_min, kp_sca_max)
+    kp = np.where(aniso, k_min, kp)
+    npix = np.where(aniso, 12 * 4**np.maximum(k_min, 0), npix)
+    return kp, npix
+
 
 @dataclasses.dataclass
-class ScaspeConfig:
-    kp_sca: int  # HEALPix k parameter of the scaspe sphere
-    dirs: np.ndarray  # (P, 3) unit vectors: npix_hp HEALPix centers + observers
-    npix_hp: int
-    tot_ndir: int
+class ScaspeBucket:
+    kp: int  # HEALPix k parameter; -1 = isotropic (1 pixel)
+    npix_hp: int  # HEALPix pixels (1 for isotropic)
+    lam_idx: np.ndarray  # (L_k,) wavelength indices into the range's L axis
+    dirs: np.ndarray  # (npix_hp + ndir, 3) unit vectors (pixel centers + observers)
 
     @property
     def nside(self):
-        return 2**self.kp_sca
+        return 2 ** max(self.kp, 0)
 
     @property
     def npix_tot(self):
-        return self.npix_hp + self.tot_ndir
+        return self.dirs.shape[0]
+
+
+@dataclasses.dataclass
+class ScaspeConfig:
+    kp_arr: np.ndarray  # (L,) per-wavelength kp (-1 = isotropic)
+    npix_hp_arr: np.ndarray  # (L,)
+    buckets: list  # [ScaspeBucket]
+    tot_ndir: int
+    L: int
 
     @classmethod
-    def make(cls, kp_sca_max: int, dir_out=None):
-        nside = 2**kp_sca_max
-        npix_hp = 12 * nside * nside
-        th, ph = hp.pix2ang_nest(nside, np.arange(npix_hp))
-        th = np.asarray(th)
-        ph = np.asarray(ph)
+    def make(cls, kp_sca_max: int, gsca, dir_out=None):
+        gsca = np.asarray(gsca, dtype=np.float64)
+        L = gsca.shape[0]
+        kp_arr, npix_hp_arr = npix_plan(gsca, kp_sca_max)
         if dir_out is not None and len(dir_out) > 0:
-            do = np.asarray(dir_out)
-            th = np.concatenate([th, do[:, 0]])
-            ph = np.concatenate([ph, do[:, 1]])
+            do = np.asarray(dir_out, dtype=np.float64)
             ndir = len(do)
         else:
+            do = np.zeros((0, 2))
             ndir = 0
-        dirs = np.stack(
-            [np.sin(th) * np.cos(ph), np.sin(th) * np.sin(ph), np.cos(th)], axis=-1
+        buckets = []
+        for kp in sorted(set(kp_arr.tolist())):
+            lam_idx = np.flatnonzero(kp_arr == kp)
+            if kp >= 0:
+                nside = 2**kp
+                nhp = 12 * nside * nside
+                th, ph = hp.pix2ang_nest(nside, np.arange(nhp))
+                th = np.asarray(th)
+                ph = np.asarray(ph)
+            else:
+                nhp = 1
+                # single pixel: direction irrelevant (weight is uniform)
+                th = np.zeros(1)
+                ph = np.zeros(1)
+            th = np.concatenate([th, do[:, 0]])
+            ph = np.concatenate([ph, do[:, 1]])
+            dirs = np.stack(
+                [np.sin(th) * np.cos(ph), np.sin(th) * np.sin(ph), np.cos(th)],
+                axis=-1,
+            )
+            buckets.append(
+                ScaspeBucket(kp=int(kp), npix_hp=nhp, lam_idx=lam_idx, dirs=dirs)
+            )
+        return cls(
+            kp_arr=kp_arr, npix_hp_arr=npix_hp_arr, buckets=buckets,
+            tot_ndir=ndir, L=L,
         )
-        return cls(kp_sca=kp_sca_max, dirs=dirs, npix_hp=npix_hp, tot_ndir=ndir)
 
     @classmethod
-    def from_run_config(cls, cfg, dust, wl, dir_out=None):
-        return cls.make(cfg.kp_sca_max, dir_out)
+    def from_run_config(cls, cfg, dust, wl, dir_out=None, lambda_range="stars"):
+        sl = wl.stellar_slice if lambda_range == "stars" else wl.dust_slice
+        return cls.make(cfg.kp_sca_max, dust.gsca[sl], dir_out)
 
-    # ---- per-batch quantities for the march kernel ----
-    def ads(self, theta, phi):
-        """cos(angle) between ray directions and every scaspe direction
-        (calc_ads_arr, rt_routines.f90:2288-2297)."""
-        d = np.stack(
-            [
-                np.sin(theta) * np.cos(phi),
-                np.sin(theta) * np.sin(phi),
-                np.cos(theta),
-            ],
-            axis=-1,
+    # ---- storage ----
+    def zeros(self, ncell: int, fdtype) -> tuple:
+        return tuple(
+            jnp.zeros((ncell, b.npix_tot, len(b.lam_idx)), dtype=fdtype)
+            for b in self.buckets
         )
-        return d @ self.dirs.T  # (NR, P)
 
-    def hg_norm(self, ads, gsca):
-        """Sum of the unnormalized HG weights over the npix_hp HEALPix pixels
-        (the normalization of calc_ffn_arr, rt_routines.f90:2258-2260)."""
-        g = np.asarray(gsca)[None, None, :]
-        a = ads[:, : self.npix_hp, None]
-        w = (1.0 - g**2) / self.npix_hp * (1.0 + g**2 - 2.0 * g * a) ** (-1.5)
-        return w.sum(axis=1)  # (NR, L)
+    def lam_idx_tuple(self) -> tuple:
+        return tuple(jnp.asarray(b.lam_idx, dtype=jnp.int32) for b in self.buckets)
 
-    def weights_fn(self, phys):
-        """Returns a function (batch_dict, nside) -> kwargs for march()."""
+    @staticmethod
+    def add(a: tuple, b: tuple) -> tuple:
+        return tuple(x + y for x, y in zip(a, b))
+
+    @staticmethod
+    def asarray(a: tuple) -> tuple:
+        return tuple(np.asarray(x) for x in a)
+
+    def nbytes(self, ncell: int, itemsize: int = 8) -> int:
+        return sum(
+            ncell * b.npix_tot * len(b.lam_idx) * itemsize for b in self.buckets
+        )
+
+    # ---- per-batch HG deposition weights (calc_ffn_arr, rt:2186-2281) ----
+    def ffn(self, theta, phi, gsca) -> tuple:
+        """Precomputed deposition weights per bucket: (NR, P_k, L_k).
+
+        For anisotropic buckets the HG phase value at each scaspe direction,
+        normalized over the npix_hp HEALPix pixels (observer pixels get the
+        same normalized values, rt:2258-2266); for the isotropic bucket a
+        uniform 1/npix_hp = 1 (rt:2270)."""
+        theta = np.asarray(theta)
+        phi = np.asarray(phi)
+        g_all = np.asarray(gsca)
+        st = np.sin(theta)
+        d = np.stack([st * np.cos(phi), st * np.sin(phi), np.cos(theta)], axis=-1)
+        out = []
+        for b in self.buckets:
+            Lk = len(b.lam_idx)
+            if b.kp < 0:
+                out.append(np.ones((len(theta), b.npix_tot, Lk)))
+                continue
+            ads = d @ b.dirs.T  # (NR, P_k)
+            g = g_all[b.lam_idx][None, None, :]  # (1, 1, L_k)
+            w = (1.0 - g**2) / b.npix_hp * (
+                1.0 + g**2 - 2.0 * g * ads[:, :, None]
+            ) ** (-1.5)
+            tot = np.sum(w[:, : b.npix_hp, :], axis=1, keepdims=True)
+            out.append(w / np.maximum(tot, 1e-300))
+        return tuple(out)
+
+    def ffn_fn(self, phys):
+        """(batch_dict, nside) -> tuple of per-bucket ffn for march()."""
         gs = np.asarray(phys.gsca)
 
         def fn(d, nside):
-            ads = self.ads(d["theta"], d["phi"])
-            return ads, self.hg_norm(ads, gs)
+            return self.ffn(d["theta"], d["phi"], gs)
 
         return fn
 
-    def pix_of_direction(self, theta, phi):
-        """HEALPix pixel of a direction on the scaspe sphere."""
-        return np.asarray(hp.ang2pix_nest(self.nside, theta, phi))
+    # ---- reads ----
+    def lumcell(self, scaspe: tuple) -> np.ndarray:
+        """Per-cell scattered luminosity (sum over the HEALPix pixels) as a
+        dense (ncell, L) array."""
+        ncell = np.asarray(scaspe[0]).shape[0]
+        out = np.zeros((ncell, self.L))
+        for b, s in zip(self.buckets, scaspe):
+            out[:, b.lam_idx] = np.asarray(
+                jnp.sum(s[:, : b.npix_hp, :], axis=1)
+            )
+        return out
 
+    def assign_src_lum(self, scaspe: tuple, cells, theta, phi) -> np.ndarray:
+        """Ray launch luminosity for scattered light: scaspe value at the ray
+        direction times npix_hp (assign_src_lum, rt_routines.f90:3043-3071)."""
+        cells = np.asarray(cells)
+        out = np.zeros((len(cells), self.L))
+        for b, s in zip(self.buckets, scaspe):
+            if b.kp >= 0:
+                pix = np.asarray(hp.ang2pix_nest(b.nside, theta, phi))
+            else:
+                pix = np.zeros(len(cells), dtype=np.int64)
+            out[:, b.lam_idx] = np.asarray(s)[cells, pix, :] * b.npix_hp
+        return out
 
-def assign_src_lum(scfg: ScaspeConfig, scaspe_prev, cells, theta, phi):
-    """Ray launch luminosity for scattered light: scaspe value at the ray
-    direction times npix_hp (assign_src_lum, rt_routines.f90:3043-3071)."""
-    pix = scfg.pix_of_direction(theta, phi)
-    sp = np.asarray(scaspe_prev)
-    return sp[cells, pix, :] * scfg.npix_hp
+    def obs_lum(self, scaspe: tuple, cells, j: int) -> np.ndarray:
+        """Scattered luminosity toward appended observer direction j
+        (rt_loop_iobs source, rt_routines.f90:1519-1548)."""
+        cells = np.asarray(cells)
+        out = np.zeros((len(cells), self.L))
+        for b, s in zip(self.buckets, scaspe):
+            out[:, b.lam_idx] = np.asarray(s)[cells, b.npix_hp + j, :] * b.npix_hp
+        return out
 
 
 @dataclasses.dataclass
 class ScatteringResult:
     u_final: jax.Array  # (ncell, L) total field incl. scattered light
-    scaspe_tot: jax.Array  # (ncell, P, L) total scattering source function
+    scaspe_tot: tuple  # per-bucket total scattering source function
     iterations: int
     converged: bool
     lum_lost: np.ndarray
@@ -134,7 +248,7 @@ def run_scattering(
     grid: Grid,
     phys,
     scfg: ScaspeConfig,
-    scaspe_direct,  # (ncell, P, L) from the direct-light pass
+    scaspe_direct,  # per-bucket tuple from the direct-light pass
     u_final,  # (ncell, L) field after direct light
     *,
     conv_en_lim: float = 0.01,
@@ -158,18 +272,15 @@ def run_scattering(
     if fdtype is None:
         fdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     L = np.asarray(phys.kext_norm).shape[0]
-    P = scfg.npix_tot
     stats: dict = {}
     lum_lost = np.zeros(L)
 
-    scaspe_prev = jnp.asarray(scaspe_direct, dtype=fdtype)
+    scaspe_prev = tuple(jnp.asarray(s, dtype=fdtype) for s in scaspe_direct)
     scaspe_tot = scaspe_prev
     u = jnp.asarray(u_final, dtype=fdtype)
 
     # total scattered luminosity at iteration 1 (rt_routines.f90:675-695)
-    tot_rad_en = np.asarray(
-        jnp.sum(scaspe_prev[:, : scfg.npix_hp, :], axis=(0, 1))
-    )
+    tot_rad_en = scfg.lumcell(scaspe_prev).sum(axis=0)
 
     leaf = np.asarray(grid.leaf_mask())
     converged = False
@@ -177,7 +288,7 @@ def run_scattering(
     while it < max_iterations:
         it += 1
         # per-cell escaping luminosity (lumcell, rt:697-708)
-        lumcell = np.array(jnp.sum(scaspe_prev[:, : scfg.npix_hp, :], axis=1))
+        lumcell = scfg.lumcell(scaspe_prev)
         lumcell[~leaf] = 0.0
         tot_lumcell = lumcell.sum(axis=0)
         if tot_rad_en.sum() <= 0:
@@ -197,14 +308,11 @@ def run_scattering(
             point=False,
         )
 
-        scaspe_prev_host = scaspe_prev  # device array; gathered per launch
-
         def src_lum_fn(d, nside):
-            return assign_src_lum(
-                scfg, scaspe_prev_host, d["src_cell"], d["theta"], d["phi"]
+            return scfg.assign_src_lum(
+                scaspe_prev, d["src_cell"], d["theta"], d["phi"]
             )
 
-        scaspe_new = jnp.zeros((grid.n_cells, P, L), dtype=fdtype)
         r = E.run_field_stage(
             grid, phys, sources,
             mode=M.MODE_DIRECT,
@@ -216,9 +324,8 @@ def run_scattering(
             wall_lo=wall_lo,
             wall_hi=wall_hi,
             chunk=chunk,
-            scaspe_weights_fn=scfg.weights_fn(phys),
-            scaspe_init=scaspe_new,
-            scaspe_npix_hp=scfg.npix_hp,
+            scaspe_cfg=scfg,
+            scaspe_init=scfg.zeros(grid.n_cells, fdtype),
             src_lum_fn=src_lum_fn,
         )
         u = r.u
@@ -227,7 +334,7 @@ def run_scattering(
         for k, v in r.stats.items():
             stats[f"scatt_{k}"] = stats.get(f"scatt_{k}", 0) + v
 
-        scaspe_tot = scaspe_tot + scaspe_new
+        scaspe_tot = ScaspeConfig.add(scaspe_tot, scaspe_new)
         scaspe_prev = scaspe_new
 
     return ScatteringResult(

@@ -20,28 +20,43 @@ AV_OPAC = os.path.join(DATA, "DUST_OPACITY", "TRUST", "ZDA_BARE_GR_S_Effective.d
 BB_TABLE = os.path.join(DATA, "TRUSTI_GRIDS", "BB_T10000_L100000.dat")
 
 
+def test_npix_plan():
+    """Per-lambda angular resolution follows set_npix_arr
+    (rt_routines.f90:5235-5315): isotropic below g_th, kp grows with g,
+    capped at kp_sca_max."""
+    g = np.array([0.0, 1e-3, 0.01, 0.3, 0.6, 0.9, -0.9])
+    kp, npix = SC.npix_plan(g, kp_sca_max=4)
+    assert kp[0] == -1 and npix[0] == 1
+    assert kp[1] == -1  # below the 2e-3 threshold
+    assert kp[2] >= 0
+    assert np.all(np.diff(kp[2:6]) >= 0)  # more forward-peaked -> finer
+    assert kp[5] == kp[6]  # |g| symmetric
+    assert np.all(kp <= 4)
+    kp1, npix1 = SC.npix_plan(g, kp_sca_max=1)
+    assert np.all(kp1 <= 1) and np.all(npix1 <= 48)
+
+
 def test_hg_weights_normalized():
-    """HG deposition weights sum to 1 over the HEALPix pixels for any g."""
-    scfg = SC.ScaspeConfig.make(kp_sca_max=2, dir_out=np.array([[0.3, 1.0]]))
+    """HG deposition weights sum to 1 over the HEALPix pixels for any g,
+    and peak along the ray direction for forward scattering."""
+    gs = np.array([0.0, 0.3, 0.85, -0.4])
+    scfg = SC.ScaspeConfig.make(2, gs, dir_out=np.array([[0.3, 1.0]]))
     rng = np.random.default_rng(0)
     theta = np.arccos(rng.uniform(-1, 1, 16))
     phi = rng.uniform(0, 2 * np.pi, 16)
-    ads = scfg.ads(theta, phi)
-    for g in (0.0, 0.3, 0.85, -0.4):
-        gs = np.array([g])
-        hgn = scfg.hg_norm(ads, gs)
-        w = (1 - g**2) / scfg.npix_hp * (1 + g**2 - 2 * g * ads[:, :, None]) ** (-1.5)
-        w = w / hgn[:, None, :]
-        np.testing.assert_allclose(w[:, : scfg.npix_hp, 0].sum(axis=1), 1.0, rtol=1e-12)
-        # forward scattering peaks along the ray direction for g > 0
-        if g > 0.1:
-            peak = np.argmax(w[:, : scfg.npix_hp, 0], axis=1)
-            peak_dirs = scfg.dirs[peak]
-            ray_dirs = np.stack(
-                [np.sin(theta) * np.cos(phi), np.sin(theta) * np.sin(phi), np.cos(theta)], -1
-            )
-            cosang = np.sum(peak_dirs * ray_dirs, axis=1)
-            assert np.all(cosang > 0.9)
+    ffn = scfg.ffn(theta, phi, gs)
+    ray_dirs = np.stack(
+        [np.sin(theta) * np.cos(phi), np.sin(theta) * np.sin(phi), np.cos(theta)], -1
+    )
+    for b, w in zip(scfg.buckets, ffn):
+        np.testing.assert_allclose(
+            w[:, : b.npix_hp, :].sum(axis=1), 1.0, rtol=1e-12
+        )
+        for k, il in enumerate(b.lam_idx):
+            if gs[il] > 0.1:
+                peak = np.argmax(w[:, : b.npix_hp, k], axis=1)
+                cosang = np.sum(b.dirs[peak] * ray_dirs, axis=1)
+                assert np.all(cosang > 0.9)
 
 
 def uniform_grid(dens_value, base=(6, 2), max_lvl=2, modelsize=10.0):
@@ -71,15 +86,15 @@ def test_scaspe_energy_identity():
         lambda_um=np.ones(1),
     )
     src = E.point_source_set(grid, np.array([[0.1, 0.2, 0.3]]), np.array([[1.0]]))
-    scfg = SC.ScaspeConfig.make(kp_sca_max=1)
-    scaspe0 = jnp.zeros((grid.n_cells, scfg.npix_tot, 1))
+    scfg = SC.ScaspeConfig.make(1, np.full(1, 0.5))
     res = E.run_field_stage(
         grid, phys, src, mode=M.MODE_DIRECT, en_lim=0.0,
         bm_par=10, bm_par_max=200,
-        scaspe_weights_fn=scfg.weights_fn(phys),
-        scaspe_init=scaspe0, scaspe_npix_hp=scfg.npix_hp,
+        scaspe_cfg=scfg, scaspe_init=scfg.zeros(grid.n_cells, jnp.float64),
     )
-    scaspe_cell = np.asarray(res.scaspe).sum(axis=(1, 2))  # (ncell,)
+    scaspe_cell = sum(
+        np.asarray(s).sum(axis=(1, 2)) for s in res.scaspe
+    )  # (ncell,)
     u = np.asarray(res.u)[:, 0]
     vol = np.asarray(grid.csize) ** 3
     interact = albedo * k * 1.0 * u * vol  # cs = 1

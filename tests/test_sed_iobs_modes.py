@@ -64,7 +64,9 @@ def test_iobs_mode_matches_main(run):
     with the main run's totals (the observer-pixel vs HEALPix-pixel lookup
     differ at the angular discretization level)."""
     grid, cfg, wl, dustm, lum, dir_out, res, files = run
-    scfg = SC.ScaspeConfig.make(cfg.kp_sca_max, dir_out)
+    scfg = SC.ScaspeConfig.make(
+        cfg.kp_sca_max, np.asarray(dustm.gsca)[wl.stellar_slice], dir_out
+    )
     i_obs2, _ = P.run_iobs_algorithm(
         grid, cfg, wl, dustm, res.scaspe_tot, scfg, dir_out=dir_out,
         p_src_pos=trustI.STAR_POS[None, :], p_src_lum=lum,
