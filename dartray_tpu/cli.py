@@ -139,10 +139,19 @@ def cmd_run(model: str, input_file: str):
         OUT.write_maps(files, res.maps_tot, wl.lambda_um[lam_idx])
 
     # dust emission RT
-    if not cfg.no_dust_rt and not wl.no_dust_rt and cfg.dust_heating_type in ("eff", "equ"):
+    if not cfg.no_dust_rt and not wl.no_dust_rt and cfg.dust_heating_type in (
+            "eff", "equ", "sto", "sto_lib"):
         t1 = time.time()
+        cal = None
+        if cfg.dust_heating_type in ("sto", "sto_lib"):
+            from . import dust as D
+            odir = next((c for c in ("./data/DUST_OPACITY", "./DUST_OPACITY")
+                         if os.path.isdir(c)), None)
+            cal = D.load_calorimetry(odir, n_comp=dustm.qabs_fa.shape[0])
+            cal = D.add_planck_avg_qabs(
+                cal, dustm, wl.lambda_si, wl.delta_lambda_bin)
         dres = P.run_dust_rt(grid, cfg, wl, dustm, res.u_final,
-                             dir_out=dir_out, pos_obs=pos_obs)
+                             dir_out=dir_out, pos_obs=pos_obs, cal=cal)
         print(f"# dust RT done in {time.time()-t1:.1f}s, "
               f"{dres.iterations} heating iterations, converged={dres.converged}")
         dfiles = OUT.OutputFiles(

@@ -260,6 +260,74 @@ def load_grain_dust_model(
     )
 
 
+# ---------------------------------------------------------------------------
+# calorimetry (grain enthalpy / heat capacity) tables — for 'sto'/'sto_lib'
+# ---------------------------------------------------------------------------
+
+N_TEMP_PLANCK = 100  # smooth_grid_routines.f90:250
+
+
+@dataclasses.dataclass
+class Calorimetry:
+    """Grain enthalpy/heat-capacity tables (load_cT_hT_tables,
+    sed_routines.f90:1571-1660) plus the Planck-averaged Qabs table
+    (calc_planck_av_qabs, sed:2033-2077)."""
+
+    cal_temp: np.ndarray  # (2, NT) [K]; row 0 graphitic, row 1 silicate
+    grain_enthalpy: np.ndarray  # (2, NT) [J/m^3]
+    grain_heat_capacity: np.ndarray  # (2, NT) [J/m^3/K]
+    iq_ct_table: np.ndarray  # (C,) calorimetry row per dust species
+    t_arr_planck: Optional[np.ndarray] = None  # (100,) [K] log grid 1..2500
+    qabs_planck: Optional[np.ndarray] = None  # (C, A, 100) <Qabs>_Planck(T)
+
+
+def load_calorimetry(opacity_dir: str, n_comp: int) -> Calorimetry:
+    """Read the TRUST graphitic + silicate calorimetry tables.
+
+    Format (load_cT_hT_tables, sed:1631-1650): 3 header lines, one density
+    line [g/cm^3], then NT rows of (T [K], enthalpy [erg/g], C_T [erg/g/K]).
+    Values are converted to per-volume SI (J/m^3[, /K]).  Species->table
+    mapping: Gra/PAH0/PAH+ -> graphitic, Sil -> silicate (sed:1596-1607).
+    """
+    files = ("Graphitic_Calorimetry_1000.dat", "Silicate_Calorimetry_1000.dat")
+    temps, enth, heat = [], [], []
+    for fn in files:
+        path = os.path.join(opacity_dir, "TRUST", fn)
+        with open(path) as f:
+            lines = f.readlines()
+        rho = float(lines[3].split()[0])  # g/cm^3
+        data = np.loadtxt(lines[4:])
+        temps.append(data[:, 0])
+        enth.append(data[:, 1] * rho * 1e-1)  # erg/g -> J/m^3
+        heat.append(data[:, 2] * rho * 1e-1)  # erg/g/K -> J/m^3/K
+    # species order in this framework: (Gra, Sil, PAH0[, PAH+])
+    iq = np.array([0, 1, 0, 0][:n_comp])
+    return Calorimetry(
+        cal_temp=np.stack(temps),
+        grain_enthalpy=np.stack(enth),
+        grain_heat_capacity=np.stack(heat),
+        iq_ct_table=iq,
+    )
+
+
+def add_planck_avg_qabs(cal: Calorimetry, dust: DustModel, lambda_si,
+                        delta_lambda_bin) -> Calorimetry:
+    """Planck-averaged Qabs per (species, size) on a 100-point log T grid
+    1..2500 K (calc_planck_av_qabs, sed_routines.f90:2033-2077):
+    <Qabs>(T) = sum(Qabs * B(T) * dl) / sum(B(T) * dl) over the full RT
+    wavelength grid."""
+    from .dust_emission import bplanck
+
+    t = np.logspace(0.0, np.log10(2500.0), N_TEMP_PLANCK)
+    B = np.asarray(bplanck(t[:, None], np.asarray(lambda_si)[None, :]))  # (T, L)
+    w = B * np.asarray(delta_lambda_bin)[None, :]
+    den = w.sum(axis=1)  # (T,)
+    num = np.einsum("cal,tl->cat", dust.qabs_fa, w)
+    cal.t_arr_planck = t
+    cal.qabs_planck = num / den[None, None, :]
+    return cal
+
+
 def prepare_dust_model(cfg, lambda_um, opacity_dir: str = None) -> DustModel:
     """Orchestrates dust-model preparation per the config.
 

@@ -38,6 +38,16 @@ class DirectLightResult:
     stats: dict
 
 
+
+def _lambda_slice(wl, lambda_range: str):
+    """Validated range selection ('stars' | 'dust'); a typo must not fall
+    through silently to the dust grid."""
+    if lambda_range == "stars":
+        return wl.stellar_slice, wl.lnum_stars
+    if lambda_range == "dust":
+        return wl.dust_slice, wl.lnum_dust
+    raise ValueError(f"lambda_range must be 'stars' or 'dust', got {lambda_range!r}")
+
 def make_physics(grid: Grid, dust: DustModel, lambda_slice) -> E.Physics:
     kext = dust.kext[lambda_slice]
     return E.Physics(
@@ -70,8 +80,7 @@ def run_direct_light(
 ) -> DirectLightResult:
     """Direct light on the stellar or dust wavelength range:
     precalc -> direct -> i_obs -> SED/maps."""
-    sl = wl.stellar_slice if lambda_range == "stars" else wl.dust_slice
-    L = wl.lnum_stars if lambda_range == "stars" else wl.lnum_dust
+    sl, L = _lambda_slice(wl, lambda_range)
     if bm_par is None:
         bm_par = cfg.bm_par
     phys = make_physics(grid, dust, sl)
@@ -241,8 +250,7 @@ def run_main(
     dartray_main, dartray_hub.f90:12-67)."""
     from .rt import scattering as SC
 
-    sl = wl.stellar_slice if lambda_range == "stars" else wl.dust_slice
-    L = wl.lnum_stars if lambda_range == "stars" else wl.lnum_dust
+    sl, L = _lambda_slice(wl, lambda_range)
     if bm_par is None:
         bm_par = cfg.bm_par
     phys = make_physics(grid, dust, sl)
@@ -384,6 +392,7 @@ def run_dust_rt(
     pos_obs=None,
     chunk: int = 32,
     max_dust_iterations: int = 30,
+    cal=None,  # dust.Calorimetry, required for 'sto'/'sto_lib'
 ) -> DustRTResult:
     """Dust emission with self-heating iterations (dartray_dust,
     dartray_hub.f90:210-253): compute the dust emissivity from the absorbed
@@ -391,11 +400,14 @@ def run_dust_rt(
     the *delta* emissivity, and iterate until the emissivity converges
     (check_dens_stars_arr, sed_routines.f90:279-333).
 
-    Only the 'eff' and 'equ' heating modes are implemented ('sto'/'sto_lib'
-    planned).  Uses bm_par_sca for the ray density (grid_initialize_dust,
-    dartray_hub.f90:518-527).
+    All four heating modes are supported: 'eff'/'equ' (equilibrium,
+    dust_emission.py) and 'sto'/'sto_lib' (stochastic, sto.py; the latter
+    two need grain-level tables + calorimetry — pass `cal`, built with
+    dust.load_calorimetry + dust.add_planck_avg_qabs).  Uses bm_par_sca
+    for the ray density (grid_initialize_dust, dartray_hub.f90:518-527).
     """
     from . import dust_emission as DE
+    from . import sto as STO
 
     if wl.no_dust_rt:
         raise ValueError("dust RT disabled: <10 wavelengths in a range")
@@ -431,9 +443,23 @@ def run_dust_rt(
             dens_new = DE.dens_dustem_equ(
                 dust, wl, dens_ref, u_stellar, u_d, units_ufield
             )
+        elif cfg.dust_heating_type in ("sto", "sto_lib"):
+            if cal is None:
+                raise ValueError("'sto'/'sto_lib' heating requires cal= "
+                                 "(dust.load_calorimetry + add_planck_avg_qabs)")
+            if cfg.dust_heating_type == "sto":
+                dens_new = STO.dens_dustem_sto(
+                    dust, cal, wl, dens_ref, u_stellar, u_d, units_ufield
+                )
+            else:
+                dens_new = STO.dens_dustem_sto_lib(
+                    dust, cal, wl, dens_ref, u_stellar, u_d,
+                    n_int_rf_bins=cfg.n_int_rf_bins,
+                    units_ufield=units_ufield,
+                )
         else:
             raise NotImplementedError(
-                f"dust_heating_type {cfg.dust_heating_type!r} not implemented yet"
+                f"dust_heating_type {cfg.dust_heating_type!r} not implemented"
             )
 
         # convergence check (check_dens_stars_arr, sed:279-333)
@@ -512,7 +538,7 @@ def run_sed_algorithm(grid, cfg, wl, files, n_point: int = 0, src_host=None,
     and dartray_sed, dartray_hub.f90:171)."""
     from . import io_output as OUT
 
-    sl = wl.stellar_slice if lambda_range == "stars" else wl.dust_slice
+    sl, _ = _lambda_slice(wl, lambda_range)
     n_sid = grid.n_cells + n_point
     ndir = len(dir_out) if dir_out is not None else 1
     i_obs = OUT.read_field_per_lambda(files, "i_obs", (n_sid, ndir))
@@ -550,8 +576,7 @@ def run_iobs_algorithm(grid, cfg, wl, dust, scaspe_tot, scfg, dir_out=None,
     """
     from .rt import scattering as SC
 
-    sl = wl.stellar_slice if lambda_range == "stars" else wl.dust_slice
-    L = wl.lnum_stars if lambda_range == "stars" else wl.lnum_dust
+    sl, L = _lambda_slice(wl, lambda_range)
     phys = make_physics(grid, dust, sl)
 
     n_point = len(p_src_pos) if p_src_pos is not None else 0
