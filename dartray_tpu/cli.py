@@ -39,18 +39,22 @@ def _read_observers(cfg, raw):
     return dir_out, pos_obs
 
 
+def _opacity_dir():
+    """Resolve the DUST_OPACITY directory (the reference reads it relative
+    to the working directory, load_opacity_param sed_routines.f90:1117)."""
+    for cand in ("./data/DUST_OPACITY", "./DUST_OPACITY"):
+        if os.path.isdir(cand):
+            return cand
+    return None
+
+
 def _prepare_common(cfg, raw):
     from .wavelength import make_wavelength_grid, read_lambda_list
     from . import dust as D
 
     lam = read_lambda_list(os.path.join(cfg.dir_grid, cfg.file_lambda_list))
     wl = make_wavelength_grid(lam, cfg.max_lambda_stars, cfg.min_lambda_dust)
-    opacity_dir = None
-    for cand in ("./data/DUST_OPACITY", "./DUST_OPACITY"):
-        if os.path.isdir(cand):
-            opacity_dir = cand
-            break
-    dustm = D.prepare_dust_model(cfg, wl.lambda_um, opacity_dir)
+    dustm = D.prepare_dust_model(cfg, wl.lambda_um, _opacity_dir())
     return wl, dustm
 
 
@@ -145,8 +149,14 @@ def cmd_run(model: str, input_file: str):
         cal = None
         if cfg.dust_heating_type in ("sto", "sto_lib"):
             from . import dust as D
-            odir = next((c for c in ("./data/DUST_OPACITY", "./DUST_OPACITY")
-                         if os.path.isdir(c)), None)
+            odir = _opacity_dir()
+            if odir is None or dustm.qabs_fa is None:
+                raise SystemExit(
+                    f"'{cfg.dust_heating_type}' heating requires a "
+                    "grain-level dust model (input_av_opacities is "
+                    "effective-only) and a DUST_OPACITY directory with "
+                    "calorimetry tables (./data/DUST_OPACITY or "
+                    "./DUST_OPACITY)")
             cal = D.load_calorimetry(odir, n_comp=dustm.qabs_fa.shape[0])
             cal = D.add_planck_avg_qabs(
                 cal, dustm, wl.lambda_si, wl.delta_lambda_bin)

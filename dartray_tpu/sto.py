@@ -40,6 +40,7 @@ Deliberate divergences (documented):
 """
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 from functools import partial
 
@@ -53,6 +54,30 @@ from .dust_emission import bplanck, convert_ufield_ifield, solve_t_equil
 N_TEMP_PT = 300  # enthalpy/temperature levels (sed_routines.f90:50)
 N_TEMP_SUB = 50  # Voit subgrid points (calc_full_fE, sed:2215)
 N_DELTA_E = 100  # dosage-moment fine grid (sed:2621)
+
+
+def _f64_context():
+    """Force float64 for the stochastic solve.
+
+    The full P(T) solve is not float32-viable: Rd2 moments
+    (~(1e-19 J)^2/s = 1e-38) sit below the smallest f32 normal, the
+    enthalpy-squared terms underflow, and the exp() exponents exceed the
+    f32 range.  When the session runs in f32 (TPU bench), route the solve
+    through the host CPU backend with x64 enabled — this module is
+    per-dust-iteration physics, not the RT hot path, so the device change
+    is free.  When x64 is already on (the test/CPU environment) this is a
+    no-op.
+    """
+    if jax.config.jax_enable_x64:
+        return contextlib.nullcontext()
+    stack = contextlib.ExitStack()
+    stack.enter_context(jax.enable_x64(True))
+    try:
+        cpu = jax.devices("cpu")[0]
+        stack.enter_context(jax.default_device(cpu))
+    except RuntimeError:
+        pass  # no CPU backend registered: x64-on-default-device still holds
+    return stack
 
 
 # ---------------------------------------------------------------------------
@@ -120,16 +145,27 @@ def _solve_pt_full(a, eT_x, eT_y, qp_x, qp_y, rd_x, rd_y, rd0, rd2,
     """
     jidx = jnp.arange(n)
 
+    tiny = jnp.finfo(eT_y.dtype).tiny
+
     def compute_pt(tmin, tmax):
         T_arr = make_log_array(tmin, tmax, n)
         E_arr = interp_extrap(T_arr, eT_x, eT_y)
-        qp = interp_extrap(T_arr, qp_x, qp_y)
+        # clamp at > 0: linear extrapolation of the Planck-averaged Qabs
+        # below the table start can go negative, which would flip the sign
+        # of the cooling rate and poison the level recursion through
+        # bb_diag (the reference instead skips leading levels until
+        # bb(is-1,is) > 0, calc_full_fE sed:2307-2310)
+        qp = jnp.maximum(interp_extrap(T_arr, qp_x, qp_y), tiny)
         # cooling rate at each level (calc_Edot_arr, sed:2600-2614)
         Edot = 4.0 * jnp.pi * a**2 * SIGMA_SB * qp * T_arr**4
         # dosage-function moment integrals on a fine transition-energy grid
         # (calc_dosage_function_moment_integrals, sed:2616-2680)
         dE_lvl = jnp.concatenate([jnp.zeros(1), E_arr[1:] - E_arr[:-1]])
-        eps = make_log_array(jnp.asarray(0.01e-19), jnp.max(dE_lvl), N_DELTA_E)
+        # keep the eps grid ascending even when every enthalpy bin is
+        # narrower than the 0.01e-19 J lower anchor (smallest PAH grains on
+        # a cool narrow T range): interp_extrap assumes ascending xp
+        eps_max = jnp.maximum(jnp.max(dE_lvl), 0.01e-19 * 10.0)
+        eps = make_log_array(jnp.asarray(0.01e-19), eps_max, N_DELTA_E)
         eps = eps.at[0].set(0.0)
         rdI_e = _interp_rd(eps, rd_x, rd_y)
         dosage = jnp.concatenate([jnp.zeros(1), rdI_e[:-1] - rdI_e[1:]])
@@ -140,7 +176,7 @@ def _solve_pt_full(a, eT_x, eT_y, qp_x, qp_y, rd_x, rd_y, rd0, rd2,
         # per-level coefficients of the analytic bin solution
         # (calc_full_fE, sed:2290-2306); level i uses Re*(i), Edot(i+1)
         Edot_n = jnp.concatenate([Edot[1:], Edot[-1:]])  # Edot(i+1) at slot i
-        cond = Re2 / jnp.maximum(rd2, 1e-300) > 1e-6
+        cond = Re2 / jnp.maximum(rd2, tiny) > 1e-6
         Re2s = jnp.where(cond, Re2, 1.0)
         a1 = (Edot_n - Re1) / (Re2s / 2.0)
         b1 = -(rd0 - Re0) / (Re2s / 2.0)
@@ -148,7 +184,7 @@ def _solve_pt_full(a, eT_x, eT_y, qp_x, qp_y, rd_x, rd_y, rd0, rd2,
         disc = jnp.sqrt(jnp.maximum(0.25 * a1**2 - b1, 0.0))
         l1a = -0.5 * a1 + disc
         l2a = -0.5 * a1 - disc
-        l1b = rd0 / jnp.maximum(Edot_n, 1e-300)
+        l1b = rd0 / jnp.maximum(Edot_n, tiny)
 
         E_next = jnp.concatenate([E_arr[1:], E_arr[-1:]])
 
@@ -156,7 +192,7 @@ def _solve_pt_full(a, eT_x, eT_y, qp_x, qp_y, rd_x, rd_y, rd0, rd2,
             (i, E_ip1, E_i, E_im1, Edot_i, cond_i,
              b1_i, c1_i, l1a_i, l2a_i, l1b_i, Re1_i, Re2_i) = xs
             pt = jnp.maximum(pt, 0.0)  # pt(i-1)<0 -> 0 (sed:2310)
-            bb_diag = Edot_i / (E_i - E_im1)
+            bb_diag = Edot_i / jnp.maximum(E_i - E_im1, tiny)
             maskj = jidx < i
             # transition-matrix row on the fly (calc_transition_matrices)
             rdv = _interp_rd(E_ip1 - E_arr, rd_x, rd_y)       # j = 0..n-1
@@ -170,7 +206,7 @@ def _solve_pt_full(a, eT_x, eT_y, qp_x, qp_y, rd_x, rd_y, rd0, rd2,
             # analytic solution on the subgrid [E(i-1), E(i)] (Voit eq. 52)
             pt_im1 = pt[i - 1]
             Es = E_im1 + (E_i - E_im1) * jnp.arange(n_sub) / (n_sub - 1)
-            dEi = E_i - E_im1
+            dEi = jnp.maximum(E_i - E_im1, tiny)
             ff = c1_i * (first * bb_diag + dEi * SeE
                          + (Re1_i - Edot_i) * pt_im1 / dEi)
             C2 = jnp.where(b1_i != 0, -c1_i / jnp.where(b1_i != 0, b1_i, 1.0)
@@ -204,7 +240,7 @@ def _solve_pt_full(a, eT_x, eT_y, qp_x, qp_y, rd_x, rd_y, rd0, rd2,
         pt, _ = jax.lax.scan(body, pt0, xs)
         pt = jnp.maximum(pt, 0.0)
         pt = jnp.nan_to_num(pt, nan=0.0)  # sed:2404-2408
-        pt = pt / jnp.maximum(jnp.sum(pt), 1e-300)
+        pt = pt / jnp.maximum(jnp.sum(pt), tiny)
         return pt, T_arr
 
     tmin0 = jnp.maximum(t_eq - 5.0 * sigT, t_eq / 2.0)  # sed:2178-2181
@@ -220,8 +256,17 @@ def _solve_pt_full(a, eT_x, eT_y, qp_x, qp_y, rd_x, rd_y, rd0, rd2,
     # past any physical level, destroying resolution near the spike
     tmax0 = jnp.maximum(1.1 * t_spike, 1.5 * t_eq)
 
-    def range_body(_, state):
-        tmin, tmax, done, pt, T_arr = state
+    # range expansion until P(T) decays at both edges (sed:2389-2400);
+    # a while_loop keyed on the done flag (vmap lifts the condition to
+    # "any grain still expanding") so converged grains stop paying for
+    # full level scans, and the final done flag reports grains whose
+    # range never stabilized within n_range_iter (not silent truncation)
+    def range_cond(state):
+        it, _, _, done, _, _ = state
+        return (~done) & (it < n_range_iter)
+
+    def range_body(state):
+        it, tmin, tmax, done, pt, T_arr = state
         pt_n, T_n = compute_pt(tmin, tmax)
         pt = jnp.where(done, pt, pt_n)
         T_arr = jnp.where(done, T_arr, T_n)
@@ -230,12 +275,12 @@ def _solve_pt_full(a, eT_x, eT_y, qp_x, qp_y, rd_x, rd_y, rd0, rd2,
         new_done = done | (~grow_lo & ~grow_hi)
         tmin = jnp.where(done | ~grow_lo, tmin, tmin * 0.7)
         tmax = jnp.where(done | ~grow_hi, tmax, tmax * 1.3)
-        return tmin, tmax, new_done, pt, T_arr
+        return it + 1, tmin, tmax, new_done, pt, T_arr
 
-    state = (tmin0, tmax0, jnp.asarray(False), jnp.zeros(n),
+    state = (jnp.asarray(0), tmin0, tmax0, jnp.asarray(False), jnp.zeros(n),
              make_log_array(tmin0, tmax0, n))
-    _, _, _, pt, T_arr = jax.lax.fori_loop(0, n_range_iter, range_body, state)
-    return pt, T_arr
+    _, _, _, done, pt, T_arr = jax.lax.while_loop(range_cond, range_body, state)
+    return pt, T_arr, done
 
 
 @partial(jax.jit, static_argnames=("n", "n_sub", "n_range_iter"))
@@ -244,8 +289,15 @@ def solve_pt_full_batch(a, eT_x, eT_y, qp_y, rd_y, rd_x, rd0, rd2,
                         n_sub=N_TEMP_SUB, n_range_iter=10):
     """vmap of _solve_pt_full over a grain batch.  Shapes:
     a/rd0/rd2/t_eq/sigT/eph_max (G,), eT_x/eT_y (G, NT), qp_y (G, 100),
-    rd_y (G, L), rd_x (L,) qp_x (100,) shared."""
-    big = 1e100 if a.dtype == jnp.float64 else 1e30
+    rd_y (G, L), rd_x (L,) qp_x (100,) shared.
+
+    Must run in float64 (see _f64_context): the dosage moments and the
+    exp() exponents of the analytic bin solution are outside the f32
+    range.  Callers go through stochastic_emission which forces f64."""
+    if a.dtype != jnp.float64:
+        raise ValueError("solve_pt_full_batch requires float64 inputs; "
+                         "run under sto._f64_context()")
+    big = 1e100
     fn = jax.vmap(
         lambda aa, ex, ey, qy, ry, r0, r2, te, sg, em: _solve_pt_full(
             aa, ex, ey, qp_x, qy, rd_x, ry, r0, r2, te, sg, em,
@@ -282,6 +334,7 @@ class StoResult:
     sed: np.ndarray        # (P, Ld) emission SED per problem [W/m/H]
     n_full: int            # grains solved with the full GD89/Voit method
     n_gauss: int           # grains on the Gaussian branch
+    n_unconverged: int = 0  # grains whose T range never stabilized
 
 
 def stochastic_emission(dust, cal, wl, rf_stars, rf_dust=None,
@@ -302,6 +355,16 @@ def stochastic_emission(dust, cal, wl, rf_stars, rf_dust=None,
     if cal.qabs_planck is None:
         raise ValueError("calorimetry lacks Planck-averaged Qabs: call "
                          "dust.add_planck_avg_qabs first")
+    with _f64_context():
+        return _stochastic_emission_f64(
+            dust, cal, wl, rf_stars, rf_dust,
+            n_temp_pt=n_temp_pt, n_range_iter=n_range_iter,
+            grain_chunk=grain_chunk)
+
+
+def _stochastic_emission_f64(dust, cal, wl, rf_stars, rf_dust=None,
+                             n_temp_pt=N_TEMP_PT, n_range_iter=10,
+                             grain_chunk=512) -> StoResult:
     sl_s, sl_d = wl.stellar_slice, wl.dust_slice
     i0 = sl_d.start
     Ls, Ld, Lt = wl.lnum_stars, wl.lnum_dust, wl.lnum_tot
@@ -417,6 +480,7 @@ def stochastic_emission(dust, cal, wl, rf_stars, rf_dust=None,
         T_all[p_, c_, a_] = np.asarray(T_g)
 
     fi = np.argwhere(full_mask)
+    n_unconverged = 0
     for b0 in range(0, len(fi), grain_chunk):
         idx = fi[b0:b0 + grain_chunk]
         p_, c_, a_ = idx.T
@@ -426,7 +490,7 @@ def stochastic_emission(dust, cal, wl, rf_stars, rf_dust=None,
             p_ = np.concatenate([p_, np.repeat(p_[-1], pad)])
             c_ = np.concatenate([c_, np.repeat(c_[-1], pad)])
             a_ = np.concatenate([a_, np.repeat(a_[-1], pad)])
-        pt_f, T_f = solve_pt_full_batch(
+        pt_f, T_f, done_f = solve_pt_full_batch(
             sizes[c_, a_],
             calT[c_], calH[c_] * vol[c_, a_][:, None],
             qpv[c_, a_],
@@ -439,6 +503,14 @@ def stochastic_emission(dust, cal, wl, rf_stars, rf_dust=None,
             qpT, n=n_temp_pt, n_range_iter=n_range_iter)
         pt_all[p_[:nb], c_[:nb], a_[:nb]] = np.asarray(pt_f)[:nb]
         T_all[p_[:nb], c_[:nb], a_[:nb]] = np.asarray(T_f)[:nb]
+        n_unconverged += int((~np.asarray(done_f)[:nb]).sum())
+    if n_unconverged:
+        import warnings
+
+        warnings.warn(
+            f"sto: {n_unconverged} grain(s) hit the T-range expansion cap "
+            f"(n_range_iter={n_range_iter}); their P(T) may be truncated",
+            RuntimeWarning, stacklevel=2)
 
     # --- emission: sum over P(T) levels and integrate over sizes ----------
     # dust_em_arr_fa (sed:632-640): pi a^2 Qabs(l) sum_t pt B(T_t, l) f(a);
@@ -471,7 +543,8 @@ def stochastic_emission(dust, cal, wl, rf_stars, rf_dust=None,
             jnp.asarray(flat_q[ii]), jnp.asarray(flat_w[ii])))
         np.add.at(sed, flat_p[ii], contrib_sed)
 
-    return StoResult(sed=sed, n_full=len(fi), n_gauss=len(gi))
+    return StoResult(sed=sed, n_full=len(fi), n_gauss=len(gi),
+                     n_unconverged=n_unconverged)
 
 
 # ---------------------------------------------------------------------------

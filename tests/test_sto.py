@@ -218,3 +218,23 @@ def test_run_dust_rt_sto_lib_smoke():
     assert dres.u_dust.shape == (grid.n_cells, wl.lnum_dust)
     assert np.all(np.isfinite(dres.u_dust))
     assert dres.u_dust.max() > 0
+
+
+def test_sto_f32_session_routes_to_f64():
+    """In a float32 session (the TPU bench environment) the stochastic
+    solve must still run in float64 via sto._f64_context and agree with
+    the x64-session result (ADVICE r1: f32 underflows Rd2 moments)."""
+    import jax
+
+    wl = _wl()
+    dm = _gray_model(wl, [[3e-9, 1e-8]])
+    cal = _cal(dm, wl)
+    rf = np.full((1, wl.lnum_stars), 1e2)
+    ref = sto.stochastic_emission(dm, cal, wl, rf, n_temp_pt=120,
+                                  grain_chunk=4)
+    with jax.enable_x64(False):
+        assert not jax.config.jax_enable_x64
+        res = sto.stochastic_emission(dm, cal, wl, rf, n_temp_pt=120,
+                                      grain_chunk=4)
+    assert res.n_full == ref.n_full
+    np.testing.assert_allclose(res.sed, ref.sed, rtol=1e-10)
