@@ -127,6 +127,9 @@ def _wall_bounds(cfg, modelsize):
     return tuple(lo), tuple(hi)
 
 
+STEP_CHUNK = 96  # march steps per kernel call before compaction
+
+
 def run_field_stage(
     grid: Grid,
     phys: Physics,
@@ -141,16 +144,30 @@ def run_field_stage(
     bm_par_max: float = 200.0,
     wall_lo=(-np.inf,) * 3,
     wall_hi=(np.inf,) * 3,
-    chunk: int = 32,
+    chunk: int = None,  # sources per fresh-launch packet (None = auto)
     fdtype=None,
     scaspe_cfg=None,  # ScaspeConfig; enables per-bucket scaspe deposits
     scaspe_init=None,  # tuple of (ncell, P_k, L_k) per-bucket accumulators
     src_lum_fn=None,  # optional (batch_dict, nside) -> (NR,L) per-ray luminosity override
+    step_chunk: int = STEP_CHUNK,
+    pool_max: int = None,
 ) -> StageResult:
-    """Run one radiation-field stage (precalc or direct) over all sources."""
+    """Run one radiation-field stage (precalc or direct) over all sources.
+
+    Rays from every source (and every nside of the adaptive ladder) are
+    marched together in global pool rounds (rays.run_rounds); fresh
+    launches are pulled lazily in source chunks so memory stays bounded.
+    """
     L = phys.kext_norm.shape[0]
     if fdtype is None:
         fdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if pool_max is None:
+        # the scattering deposit path carries (NR, P, L) HG weights: keep
+        # the assembled batch smaller there
+        pool_max = R.POOL_MAX if scaspe_cfg is None else R.POOL_MAX // 4
+    npix0 = 12 * R.NSIDE_MIN * R.NSIDE_MIN
+    if chunk is None:
+        chunk = max(1, pool_max // npix0)
     u = (
         jnp.zeros((grid.n_cells, L), dtype=fdtype)
         if u_init is None
@@ -165,152 +182,64 @@ def run_field_stage(
     kext_norm = jnp.asarray(phys.kext_norm, dtype=fdtype)
     albedo = jnp.asarray(phys.albedo, dtype=fdtype)
     rad_lim_dist = rad_lim * grid.modelsize if mode == M.MODE_PRECALC else np.inf
-    scaspe_lam_idx = (
-        scaspe_cfg.lam_idx_tuple() if scaspe_cfg is not None else None
+    kw = dict(
+        mode=mode,
+        point_source=sources.point,
+        en_lim=en_lim,
+        rad_lim_dist=rad_lim_dist,
+        bm_par=float(bm_par),
+        bm_par_max=float(bm_par_max),
+        cs=phys.cs,
+        wall_lo=wall_lo,
+        wall_hi=wall_hi,
+        max_steps=step_chunk,
     )
-
-    for c0 in range(0, sources.n, chunk):
-        sub = SourceSet(
-            pos=sources.pos[c0 : c0 + chunk],
-            cell=sources.cell[c0 : c0 + chunk],
-            sid=sources.sid[c0 : c0 + chunk],
-            lum=sources.lum[c0 : c0 + chunk],
-            point=sources.point,
+    if scaspe_cfg is not None:
+        kw.update(
+            collect_en_sca=True,
+            scaspe_dirs=tuple(
+                jnp.asarray(b.dirs, dtype=fdtype) for b in scaspe_cfg.buckets
+            ),
+            scaspe_g=tuple(
+                jnp.asarray(np.asarray(phys.gsca)[b.lam_idx], dtype=fdtype)
+                for b in scaspe_cfg.buckets
+            ),
+            scaspe_npix_hp=tuple(b.npix_hp for b in scaspe_cfg.buckets),
+            scaspe_lam_idx=scaspe_cfg.lam_idx_tuple(),
         )
-        launch = R.fresh_launch(sub.pos, sub.cell, np.arange(sub.n) + c0, sub.lum)
 
-        def march_fn(batch, nside, _d=None, max_steps=1 << 30):
-            nonlocal u, lum_lost, scaspe
-            beam_i = 4.0 * np.pi / (12 * nside * nside)
-            kw = dict(
-                mode=mode,
-                point_source=sources.point,
-                beam_i=jnp.asarray(beam_i, dtype=fdtype),
-                en_lim=en_lim,
-                rad_lim_dist=rad_lim_dist,
-                bm_par=float(bm_par),
-                bm_par_max=float(bm_par_max),
-                allow_block=nside > 2 * R.NSIDE_MIN,
-                cs=phys.cs,
-                wall_lo=wall_lo,
-                wall_hi=wall_hi,
-                max_steps=max_steps,
+    def march_fn(batch, beam_i, can_merge, _d=None):
+        nonlocal u, scaspe
+        if scaspe_cfg is not None:
+            u_new, res, scaspe_new = M.march(
+                grid, dens_ref, kext_norm, albedo, u_fest, u, batch,
+                beam_i=beam_i, allow_block=can_merge,
+                scaspe_accum=scaspe, **kw,
             )
-            if scaspe_cfg is not None:
-                ffn = scaspe_cfg.ffn(
-                    np.asarray(_d["theta"]), np.asarray(_d["phi"]),
-                    np.asarray(phys.gsca),
-                )
-                npad = batch.n - ffn[0].shape[0]
-                if npad > 0:
-                    ffn = tuple(
-                        np.pad(f, ((0, npad), (0, 0), (0, 0))) for f in ffn
-                    )
-                u_new, res, scaspe_new = M.march(
-                    grid, dens_ref, kext_norm, albedo, u_fest, u, batch,
-                    collect_en_sca=True,
-                    ffn=tuple(jnp.asarray(f, dtype=fdtype) for f in ffn),
-                    scaspe_lam_idx=scaspe_lam_idx,
-                    scaspe_accum=scaspe,
-                    **kw,
-                )
-                scaspe = scaspe_new
-            else:
-                u_new, res = M.march(
-                    grid, dens_ref, kext_norm, albedo, u_fest, u, batch, **kw
-                )
-            u = u_new
-            lum_lost += np.asarray(res.lum_lost)
-            return res
+            scaspe = scaspe_new
+        else:
+            u_new, res = M.march(
+                grid, dens_ref, kext_norm, albedo, u_fest, u, batch,
+                beam_i=beam_i, allow_block=can_merge, **kw,
+            )
+        u = u_new
+        return res
 
-        _run_ladder_with_d(march_fn, launch, L, fdtype, stats, src_lum_fn)
+    def launches():
+        for c0 in range(0, sources.n, chunk):
+            hi = min(c0 + chunk, sources.n)
+            yield R.fresh_launch(
+                sources.pos[c0:hi], sources.cell[c0:hi],
+                np.arange(c0, hi), sources.lum[c0:hi],
+            )
+
+    R.run_rounds(march_fn, launches(), L, fdtype=fdtype, stats=stats,
+                 src_lum_fn=src_lum_fn, pool_max=pool_max)
+
+    # lum_lost is accumulated on host from the packed round outputs
+    lum_lost = lum_lost + np.asarray(stats.pop("lum_lost", 0.0), dtype=float)
 
     return StageResult(u=u, lum_lost=lum_lost, stats=stats, scaspe=scaspe)
-
-
-STEP_CHUNK = 96  # march steps per kernel call before compaction
-
-
-def _run_ladder_with_d(march_fn, launch, L, fdtype, stats, src_lum_fn=None,
-                       step_chunk: int = STEP_CHUNK):
-    """run_ladder wrapper passing the host dict to march_fn (needed for
-    per-ray angular weights in the scattering stage).
-
-    Rays are marched in chunks of `step_chunk` intersections; the survivors
-    are compacted and re-queued in (usually much smaller) batches.  Without
-    this, lock-step efficiency is avg_steps/max_steps over the batch — a few
-    percent for deep grids."""
-
-    def wrapped(batch, nside, d=None, max_steps=1 << 30):
-        return march_fn(batch, nside, d, max_steps)
-
-    # re-implement the small ladder loop locally to give march_fn access to
-    # the host-side dict
-    high, low = {}, {}
-
-    def do_march(d, nside):
-        while d is not None and len(d["src_cell"]) > 0:
-            n = len(d["src_cell"])
-            if src_lum_fn is not None and np.any(d["fresh"]):
-                lum = src_lum_fn(d, nside)
-                d = dict(d)
-                if R._is_dev(d["lum"]) or R._is_dev(lum):
-                    d["lum"] = jnp.where(
-                        jnp.asarray(d["fresh"])[:, None], jnp.asarray(lum), jnp.asarray(d["lum"])
-                    )
-                else:
-                    d["lum"] = np.where(d["fresh"][:, None], lum, d["lum"])
-            batch = R._to_batch(d, L, pad_to=R._bucket(n), fdtype=fdtype)
-            res = wrapped(batch, nside, d, step_chunk)
-            stats["rays"] = stats.get("rays", 0) + n
-            stats["steps"] = stats.get("steps", 0) + int(np.asarray(res.n_steps))
-            b_high = R.collect_blocked(d, res, M.ST_HIGH)
-            b_low = R.collect_blocked(d, res, M.ST_LOW)
-            if b_high.n:
-                high.setdefault(nside, []).append(b_high)
-            if b_low.n:
-                low.setdefault(nside, []).append(b_low)
-            # continuation: rays still in flight after step_chunk steps
-            st = np.asarray(res.status)[:n]
-            act = np.flatnonzero(st == M.ST_ACTIVE)
-            stats["rays"] -= len(act)  # don't double-count resumed rays
-            if len(act) == 0:
-                return
-            d = dict(
-                src_pos=np.asarray(d["src_pos"])[act],
-                src_cell=np.asarray(d["src_cell"])[act],
-                src_idx=np.asarray(d["src_idx"])[act],
-                ipix=np.asarray(d["ipix"])[act],
-                theta=np.asarray(d["theta"])[act],
-                phi=np.asarray(d["phi"])[act],
-                lum=jnp.take(res.lum, jnp.asarray(act), axis=0),
-                prev=np.asarray(res.prev)[act],
-                cc_old=np.asarray(res.cc_cur)[act],
-                isel_old=np.asarray(res.isel_cur)[act],
-                dplane=np.zeros(len(act)),
-                fresh=np.zeros(len(act), dtype=bool),
-                seen_other=np.asarray(res.seen_other)[act],
-            )
-
-    do_march(launch, R.NSIDE_MIN)
-    while True:
-        if high:
-            nside = min(high)
-            pool = R.Blocked.concat(high.pop(nside))
-            if 2 * nside > R.NSIDE_MAX:
-                raise RuntimeError("nside ladder exceeded NSIDE_MAX")
-            do_march(R.split_high(pool, nside), 2 * nside)
-            continue
-        if low:
-            nside = max(low)
-            pool = R.Blocked.concat(low.pop(nside))
-            merged, reco = R.merge_low(pool, nside)
-            if reco is not None:
-                do_march(reco, nside)
-            if merged is not None:
-                do_march(merged, nside // 2)
-            continue
-        break
 
 
 def trace_iobs_rays(

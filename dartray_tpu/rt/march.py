@@ -5,7 +5,7 @@ TPU-native rebuild of ray_tracing / calc_psel / deposit
 ray marched to completion per OpenMP task, a fixed-size *batch* of rays is
 advanced in lock-step inside a single ``lax.while_loop`` under ``jit``:
 
-* next-wall selection (calc_psel) is a 3-vector min over the batch;
+* next-wall selection (calc_psel) is a 3-way min over the batch;
 * deposits are scatter-adds into the (ncell, L) radiation-field accumulator
   — no locks/atomics needed (P9 of SURVEY.md becomes a scatter-add);
 * the DART-Ray blocking rules (ray-precision lower bound
@@ -20,6 +20,12 @@ advanced in lock-step inside a single ``lax.while_loop`` under ``jit``:
 Wavelengths are carried densely: the per-step math is (NR, L)-shaped, which
 maps straight onto the VPU lanes (the reference's iq compressed-index loop,
 set_iq_list rt_routines.f90:1860, is unnecessary on TPU).
+
+Layout: all 3-vector quantities (positions, directions, fine coordinates)
+are carried as *separate per-axis (NR,) arrays* (structure-of-arrays).  A
+(NR, 3) array tiles on the TPU VPU as rows of 3 useful lanes out of 128 —
+a 42x padding waste on every elementwise op of the hot loop; per-axis
+(NR,) arrays tile densely.
 """
 from __future__ import annotations
 
@@ -50,7 +56,7 @@ GLEPSILON = 1.0e-7  # direction sign threshold (rt_routines.f90:76)
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class RayBatch:
-    """A batch of rays, all at the same HEALPix nside."""
+    """A batch of rays (mixed nside allowed via per-ray beam_i)."""
 
     src_pos: jax.Array  # (NR,3) source position
     src_cell: jax.Array  # (NR,) int32 source cell id (nc)
@@ -88,11 +94,23 @@ class MarchResult:
     trace_cells: jax.Array = None  # (NR,S) int32 visited cells (if traced)
     trace_lengths: jax.Array = None  # (NR,S) intersection lengths
     trace_count: jax.Array = None  # (NR,) number of trace entries
+    # all scalar per-ray outputs stacked into two arrays so the host driver
+    # needs exactly TWO device->host transfers per round (each transfer
+    # costs ~30 ms of latency over a remote-TPU tunnel):
+    packed_i: jax.Array = None  # (7, NR) int32: status, blk_cc, blk_isel,
+    #                              cc_cur, isel_cur, seen_other, n_steps
+    packed_f: jax.Array = None  # (3, NR) fdtype: prev, blk_dplane,
+    #                              lum_lost (row 2, first L entries)
 
 
 def _dir_components(theta, phi):
     st = jnp.sin(theta)
     return jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), jnp.cos(theta)], axis=-1)
+
+
+def _sel3(isel, x, y, z):
+    """Component of (x, y, z) selected by axis index isel (0/1/2)."""
+    return jnp.where(isel == 0, x, jnp.where(isel == 1, y, z))
 
 
 @partial(
@@ -102,7 +120,7 @@ def _dir_components(theta, phi):
         "point_source",
         "trace_steps",
         "collect_en_sca",
-        "allow_block",
+        "scaspe_npix_hp",
     ),
 )
 def march(
@@ -116,12 +134,12 @@ def march(
     *,
     mode: int,
     point_source: bool = False,
-    beam_i=None,  # () solid angle per ray = 4 pi / (12 nside^2)
+    beam_i=None,  # () or (NR,) solid angle per ray = 4 pi / (12 nside^2)
     en_lim=0.0,  # f_U
     rad_lim_dist=jnp.inf,  # rad_lim * modelsize (precalc)
     bm_par=10.0,
     bm_par_max=200.0,
-    allow_block=True,  # False when nside <= 2*nside_min (no further splitting)
+    allow_block=True,  # bool or (NR,): False when nside <= 2*nside_min
     cs=1.0,  # light speed in grid units
     wall_lo=(-jnp.inf, -jnp.inf, -jnp.inf),
     wall_hi=(jnp.inf, jnp.inf, jnp.inf),
@@ -129,7 +147,9 @@ def march(
     max_steps: int = 100000,
     trace_steps: int = 0,  # record (cell, length) per intersection if > 0
     collect_en_sca: bool = False,  # also accumulate scattered energy per step
-    ffn=None,  # tuple of (NR, P_k, L_k) per-bucket HG deposition weights
+    scaspe_dirs=None,  # tuple of (P_k, 3) scaspe direction unit vectors
+    scaspe_g=None,  # tuple of (L_k,) HG asymmetry per bucket wavelength
+    scaspe_npix_hp=None,  # static tuple of ints: HEALPix pixels per bucket
     scaspe_lam_idx=None,  # tuple of (L_k,) int32 wavelength indices per bucket
     scaspe_accum=None,  # tuple of (ncell, P_k, L_k) accumulators
 ):
@@ -141,25 +161,70 @@ def march(
     intersection and every kp bucket, ``en_sca(ray, lambda in bucket) *
     ffn(ray, pix)`` into ``scaspe_accum[k][cell, pix, lambda]`` — the
     vectorized equivalent of process_scatt_rad (rt_routines.f90:2638-2726).
-    The HG weights ffn depend only on the (fixed) ray direction, so they are
-    precomputed per kernel call (calc_ffn_arr, rt:2186-2281).
+    The HG weights ffn depend only on the (fixed) ray direction, so they
+    are computed on-device once per kernel call from the small
+    (scaspe_dirs, scaspe_g) tables (calc_ffn_arr, rt:2186-2281).
     """
     NR = rays.n
     L = kext_norm.shape[0]
     fdtype = rays.lum.dtype
     csize_lv = jnp.asarray(grid.csize_levels(), dtype=fdtype)
-    spl = jnp.asarray(grid.fine_per_level(), dtype=jnp.int32)
     n_fine = grid.n_fine
     max_lvl = grid.max_lvl
     b1, b2 = grid.base
+    spl_np = np.asarray(grid.fine_per_level())  # static per-level side counts
+    spl = jnp.asarray(spl_np, dtype=jnp.int32)
+    half = jnp.asarray(grid.modelsize / 2.0, dtype=fdtype)
 
-    d = _dir_components(rays.theta, rays.phi)  # (NR,3)
+    # per-axis grid coordinate tables (gather-friendly (ncell,) layout)
+    gxx = grid.ccoord[:, 0].astype(fdtype)
+    gyy = grid.ccoord[:, 1].astype(fdtype)
+    gzz = grid.ccoord[:, 2].astype(fdtype)
+
+    st_ = jnp.sin(rays.theta)
+    dx = (st_ * jnp.cos(rays.phi)).astype(fdtype)
+    dy = (st_ * jnp.sin(rays.phi)).astype(fdtype)
+    dz = jnp.cos(rays.theta).astype(fdtype)
     # sign of each direction component; 0 for axis-perpendicular rays
     # (rt_routines.f90:1666-1669)
-    inc = jnp.clip((d / GLEPSILON).astype(jnp.int32), -1, 1)
-    inv_d = jnp.where(inc != 0, 1.0 / jnp.where(d == 0, 1.0, d), jnp.inf)
+    def _inc(c):
+        return jnp.clip((c / GLEPSILON).astype(jnp.int32), -1, 1)
 
-    src = rays.src_pos
+    incx, incy, incz = _inc(dx), _inc(dy), _inc(dz)
+
+    def _inv(c, i):
+        return jnp.where(i != 0, 1.0 / jnp.where(c == 0, 1.0, c), jnp.inf)
+
+    invx, invy, invz = _inv(dx, incx), _inv(dy, incy), _inv(dz, incz)
+
+    if collect_en_sca:
+        # Henyey-Greenstein deposition weights per bucket (calc_ffn_arr,
+        # rt_routines.f90:2186-2281): constant along a ray, so computed
+        # once per call.  Normalized over the npix_hp HEALPix pixels; the
+        # appended observer pixels reuse the normalized values
+        # (rt:2258-2266); a single-pixel bucket (isotropic lambdas) gets a
+        # uniform weight of 1 (rt:2270).
+        ffn = []
+        for dirs_k, g_k, nhp_k in zip(scaspe_dirs, scaspe_g, scaspe_npix_hp):
+            if nhp_k <= 1:
+                ffn.append(
+                    jnp.ones((NR, dirs_k.shape[0], g_k.shape[0]), dtype=fdtype)
+                )
+                continue
+            dk = dirs_k.astype(fdtype)
+            ads = (dx[:, None] * dk[None, :, 0] + dy[:, None] * dk[None, :, 1]
+                   + dz[:, None] * dk[None, :, 2])  # (NR, P_k)
+            g = g_k.astype(fdtype)[None, None, :]  # (1, 1, L_k)
+            w = (1.0 - g**2) / nhp_k * (
+                1.0 + g**2 - 2.0 * g * ads[:, :, None]
+            ) ** (-1.5)
+            tot = jnp.sum(w[:, :nhp_k, :], axis=1, keepdims=True)
+            ffn.append(w / jnp.maximum(tot, 1e-300))
+        ffn = tuple(ffn)
+
+    sx = rays.src_pos[:, 0].astype(fdtype)
+    sy = rays.src_pos[:, 1].astype(fdtype)
+    sz = rays.src_pos[:, 2].astype(fdtype)
     nc = rays.src_cell
     csize_nc = grid.csize[nc].astype(fdtype)
     lvl_nc = grid.lvl[nc]
@@ -169,28 +234,47 @@ def march(
 
     if beam_i is None:
         beam_i = jnp.asarray(4.0 * jnp.pi / 12.0, dtype=fdtype)
-    beam_i = jnp.asarray(beam_i, dtype=fdtype)
+    # per-ray solid angle: rays at different nside march in one batch
+    beam_i = jnp.broadcast_to(jnp.asarray(beam_i, dtype=fdtype), (NR,))
+    can_merge = jnp.broadcast_to(jnp.asarray(allow_block, dtype=bool), (NR,))
 
     # --- starting cell -----------------------------------------------------
     # fresh rays start in their source cell; relaunched rays start at
     # src + prev*d (find_cc_new2, rt_routines.f90:1962-2066)
-    start_pos = src + rays.prev[:, None] * d
-    outside = jnp.any(jnp.abs(start_pos) > grid.modelsize / 2.0, axis=-1)
+    prev0 = rays.prev.astype(fdtype)
+    px0 = sx + prev0 * dx
+    py0 = sy + prev0 * dy
+    pz0 = sz + prev0 * dz
+    outside = (
+        (jnp.abs(px0) > half) | (jnp.abs(py0) > half) | (jnp.abs(pz0) > half)
+    )
 
-    # point -> fine coords (per-level floor, clamping at edges)
-    norm = start_pos + grid.modelsize / 2.0
-    fine = jnp.zeros((NR, 3), dtype=jnp.int32)
-    for l in range(1, max_lvl + 1):
-        b = b1 if l == 1 else b2
-        digit = jnp.clip(jnp.floor(norm / csize_lv[l]).astype(jnp.int32), 0, b - 1)
-        norm = norm - digit * csize_lv[l]
-        fine = fine + digit * spl[l]
+    def _refloor(px, py, pz):
+        """point (model coords + half) -> per-axis fine int coordinates
+        (per-level floor, clamping at edges)."""
+        fx = jnp.zeros(px.shape, dtype=jnp.int32)
+        fy = jnp.zeros(px.shape, dtype=jnp.int32)
+        fz = jnp.zeros(px.shape, dtype=jnp.int32)
+        for l in range(1, max_lvl + 1):
+            b = b1 if l == 1 else b2
+            s_l = int(spl_np[l])
+            inv_c = 1.0 / csize_lv[l]
+            gx = jnp.clip(jnp.floor(px * inv_c).astype(jnp.int32), 0, b - 1)
+            gy = jnp.clip(jnp.floor(py * inv_c).astype(jnp.int32), 0, b - 1)
+            gz = jnp.clip(jnp.floor(pz * inv_c).astype(jnp.int32), 0, b - 1)
+            px = px - gx.astype(fdtype) * csize_lv[l]
+            py = py - gy.astype(fdtype) * csize_lv[l]
+            pz = pz - gz.astype(fdtype) * csize_lv[l]
+            fx = fx + gx * s_l
+            fy = fy + gy * s_l
+            fz = fz + gz * s_l
+        return fx, fy, fz
+
+    fx0, fy0, fz0 = _refloor(px0 + half, py0 + half, pz0 + half)
 
     # override with the source-cell coordinates for fresh rays (the source
     # center is always strictly inside its cell)
-    cc0, clvl0 = _descend(grid, fine)
-    # if the relaunch point is still inside cc_old use cc_old (identical
-    # result; the descend already guarantees that)
+    cc0, clvl0 = _descend(grid, fx0, fy0, fz0)
     cc = jnp.where(rays.fresh, nc, cc0)
     clvl = jnp.where(rays.fresh, lvl_nc, clvl0)
 
@@ -199,8 +283,8 @@ def march(
     status0 = jnp.where(rays.active & outside, ST_GONE, ST_ACTIVE)
     status0 = jnp.where(~rays.active, ST_GONE, status0)
 
-    wall_lo = jnp.asarray(wall_lo, dtype=fdtype)
-    wall_hi = jnp.asarray(wall_hi, dtype=fdtype)
+    wall_lo = tuple(jnp.asarray(w, dtype=fdtype) for w in wall_lo)
+    wall_hi = tuple(jnp.asarray(w, dtype=fdtype) for w in wall_hi)
 
     if vec_mod is None:
         vec_mod = jnp.full((NR,), jnp.inf, dtype=fdtype)
@@ -210,11 +294,12 @@ def march(
     state = dict(
         cc=cc.astype(jnp.int32),
         clvl=clvl.astype(jnp.int32),
-        fine=fine,
-        prev=rays.prev.astype(fdtype),
+        fx=fx0,
+        fy=fy0,
+        fz=fz0,
+        prev=prev0,
         isel_old=rays.isel_old.astype(jnp.int32),
         intensity=intensity0,
-        flag_beam=jnp.ones((NR,), dtype=bool),
         seen_other=jnp.asarray(rays.seen_other, dtype=bool),
         active=active0,
         status=status0.astype(jnp.int32),
@@ -242,7 +327,8 @@ def march(
         return jnp.any(s["active"]) & (s["it"] < max_steps)
 
     def body(s):
-        cc, clvl, fine = s["cc"], s["clvl"], s["fine"]
+        cc, clvl = s["cc"], s["clvl"]
+        fx, fy, fz = s["fx"], s["fy"], s["fz"]
         act = s["active"]
         ccs = jnp.clip(cc, 0, grid.n_cells - 1)
 
@@ -251,14 +337,18 @@ def march(
         seen_other = s["seen_other"] | (act & (cc != nc) & (cc != start_cell))
         flag_beam = ~seen_other
 
-        ccoord_c = grid.ccoord[ccs].astype(fdtype)  # (NR,3)
+        gx_c = gxx[ccs]
+        gy_c = gyy[ccs]
+        gz_c = gzz[ccs]
         csize_c = csize_lv[clvl]  # (NR,)
+        hcs = 0.5 * csize_c
 
         # ---- calc_psel (rt_routines.f90:2307-2351) ----
-        pabs = (ccoord_c - src + 0.5 * inc.astype(fdtype) * csize_c[:, None]) * inv_d
-        pabs = jnp.where(inc != 0, pabs, jnp.inf)
-        psel = jnp.min(pabs, axis=-1)
-        isel = jnp.argmin(pabs, axis=-1).astype(jnp.int32)
+        px = jnp.where(incx != 0, (gx_c - sx + incx.astype(fdtype) * hcs) * invx, jnp.inf)
+        py = jnp.where(incy != 0, (gy_c - sy + incy.astype(fdtype) * hcs) * invy, jnp.inf)
+        pz = jnp.where(incz != 0, (gz_c - sz + incz.astype(fdtype) * hcs) * invz, jnp.inf)
+        psel = jnp.minimum(jnp.minimum(px, py), pz)
+        isel = jnp.where(px == psel, 0, jnp.where(py == psel, 1, 2)).astype(jnp.int32)
 
         length = psel - s["prev"]
         length = jnp.where(jnp.abs(length) < 1e-5 * csize_c, 0.0, length)
@@ -301,10 +391,10 @@ def march(
 
         # blocking conditions; the beam-density window
         # (deposit rt_routines.f90:2426-2534).  go_high has no nside limit;
-        # go_low is disabled for nside <= 2*nside_min (allow_block=False)
+        # go_low is disabled for nside <= 2*nside_min (can_merge=False)
         too_sparse = (beam_f / bm_par <= beam_i) & ~flag_beam
         in_window = beam_f / bm_par_max < beam_i
-        dep_ok = in_window | flag_beam | (not allow_block)
+        dep_ok = in_window | flag_beam | ~can_merge
         if mode == MODE_PRECALC:
             beyond = has_len & (psel > rad_lim_dist)
             go_high = has_len & ~beyond & too_sparse
@@ -319,8 +409,10 @@ def march(
             ull = u_fest[ccs]
             kill = u_beam < en_lim * ull
             kill_mask = (has_len & too_sparse)[:, None] & kill
-            wall_hit = jnp.any(
-                (ccoord_c < wall_lo[None, :]) | (ccoord_c > wall_hi[None, :]), axis=-1
+            wall_hit = (
+                (gx_c < wall_lo[0]) | (gx_c > wall_hi[0])
+                | (gy_c < wall_lo[1]) | (gy_c > wall_hi[1])
+                | (gz_c < wall_lo[2]) | (gz_c > wall_hi[2])
             )
             I_after_kill = jnp.where(kill_mask, 0.0, I)
             any_left = jnp.any(I_after_kill > 0, axis=-1)
@@ -339,7 +431,7 @@ def march(
         do_dep = act & dep & has_len & (mode <= MODE_DIRECT)
 
         # deposit energy density: i_av * length / cs / vol_f * area_i * beam_i
-        du = i_av * (length / cs / vol_f * area_i)[:, None] * beam_i
+        du = i_av * (length / cs / vol_f * area_i * beam_i)[:, None]
         u = s["u"].at[ccs].add(jnp.where(do_dep[:, None], du, 0.0))
 
         if collect_en_sca:
@@ -352,7 +444,7 @@ def march(
                 I / tau_own_safe * (exp_own + tau_own - 1.0),
             )
             en_sca = jnp.where(is_src_cell[:, None], en_own, en_ext)
-            en_sca = en_sca * albedo[None, :] * area_i[:, None] * beam_i
+            en_sca = en_sca * albedo[None, :] * (area_i * beam_i)[:, None]
             en_sca = jnp.where(do_dep[:, None], en_sca, 0.0)
             # per-bucket deposit: scaspe_k[cell, pix, lam] +=
             #   en_sca[ray, lam in bucket] * ffn_k[ray, pix, lam]
@@ -385,7 +477,7 @@ def march(
         # killed lambdas zero out + lum_lost bookkeeping
         killed_now = act[:, None] & kill_mask & (I > 0)
         lum_lost = s["lum_lost"] + jnp.sum(
-            jnp.where(killed_now, i_av * beam_i * (csize_i**2)[:, None], 0.0), axis=0
+            jnp.where(killed_now, i_av * (beam_i * csize_i**2)[:, None], 0.0), axis=0
         )
         I_next = jnp.where(killed_now, 0.0, I_next)
 
@@ -399,35 +491,34 @@ def march(
             i_obs = s["i_obs"]
 
         # ---- advance to the next cell (rt_routines.f90:1778-1841) ----
-        sz = spl[clvl]  # fine cells per current-cell side
-        fsel = jnp.take_along_axis(fine, isel[:, None], axis=1)[:, 0]
-        blk = fsel // sz
-        fnew_sel = jnp.where(inc[jnp.arange(NR), isel] > 0, (blk + 1) * sz, blk * sz - 1)
+        sz_c = spl[clvl]  # fine cells per current-cell side
+        fsel = _sel3(isel, fx, fy, fz)
+        inc_sel = _sel3(isel, incx, incy, incz)
+        blk = fsel // sz_c
+        fnew_sel = jnp.where(inc_sel > 0, (blk + 1) * sz_c, blk * sz_c - 1)
         out_grid = (fnew_sel < 0) | (fnew_sel >= n_fine)
 
         # other axes: recompute fine coords from the crossing position
-        bpos = psel[:, None] * d + src + grid.modelsize / 2.0  # absolute coords
-        fine_re = jnp.zeros((NR, 3), dtype=jnp.int32)
-        normb = bpos
-        for l in range(1, max_lvl + 1):
-            b = b1 if l == 1 else b2
-            digit = jnp.clip(jnp.floor(normb / csize_lv[l]).astype(jnp.int32), 0, b - 1)
-            normb = normb - digit * csize_lv[l]
-            fine_re = fine_re + digit * spl[l]
+        rx, ry, rz = _refloor(
+            psel * dx + sx + half, psel * dy + sy + half, psel * dz + sz + half
+        )
         # monotonicity guard: the float recompute can land exactly on a cell
         # boundary and round back *behind* a wall the ray already crossed
         # (degenerate diagonal rays through cell corners), which would
         # ping-pong forever.  Never move a coordinate against the ray
         # direction relative to the current cell's entry coordinates.
-        fine_mono = jnp.where(
-            inc > 0,
-            jnp.maximum(fine_re, fine),
-            jnp.where(inc < 0, jnp.minimum(fine_re, fine), fine_re),
-        )
-        sel_onehot = jax.nn.one_hot(isel, 3, dtype=jnp.int32)
-        fine_next = jnp.where(sel_onehot == 1, fnew_sel[:, None], fine_mono)
+        def _mono(r, f, i):
+            return jnp.where(i > 0, jnp.maximum(r, f),
+                             jnp.where(i < 0, jnp.minimum(r, f), r))
 
-        cc_next, clvl_next = _descend(grid, fine_next)
+        mx = _mono(rx, fx, incx)
+        my = _mono(ry, fy, incy)
+        mz = _mono(rz, fz, incz)
+        fx_n = jnp.where(isel == 0, fnew_sel, mx)
+        fy_n = jnp.where(isel == 1, fnew_sel, my)
+        fz_n = jnp.where(isel == 2, fnew_sel, mz)
+
+        cc_next, clvl_next = _descend(grid, fx_n, fy_n, fz_n)
 
         # ---- status resolution ----
         blocked = act & (go_high | go_low)
@@ -447,7 +538,8 @@ def march(
         blk_prev = jnp.where(rec_blk, s["prev"], s["blk_prev"])
         blk_cc = jnp.where(rec_blk, cc, s["blk_cc"])
         blk_isel = jnp.where(rec_blk, s["isel_old"], s["blk_isel"])
-        dsel = jnp.take_along_axis(d, jnp.clip(s["isel_old"], 0, 2)[:, None], axis=1)[:, 0]
+        iold = jnp.clip(s["isel_old"], 0, 2)
+        dsel = _sel3(iold, dx, dy, dz)
         dplane_now = jnp.where(s["isel_old"] >= 0, s["prev"] * dsel, 0.0)
         blk_dplane = jnp.where(rec_blk, dplane_now, s["blk_dplane"])
 
@@ -456,11 +548,12 @@ def march(
         new_state = dict(
             cc=jnp.where(still_active, cc_next, cc),
             clvl=jnp.where(still_active, clvl_next, clvl),
-            fine=jnp.where(still_active[:, None], fine_next, fine),
+            fx=jnp.where(still_active, fx_n, fx),
+            fy=jnp.where(still_active, fy_n, fy),
+            fz=jnp.where(still_active, fz_n, fz),
             prev=jnp.where(still_active, psel, s["prev"]),
             isel_old=jnp.where(still_active, isel, s["isel_old"]),
             intensity=I_next,
-            flag_beam=flag_beam,
             seen_other=seen_other,
             active=still_active,
             status=status,
@@ -485,6 +578,25 @@ def march(
     out = jax.lax.while_loop(cond, body, state)
 
     lum_out = out["intensity"] * (4.0 * jnp.pi * csize_nc**2)[:, None]
+    packed_i = jnp.stack([
+        out["status"],
+        out["blk_cc"],
+        out["blk_isel"],
+        out["cc"],
+        out["isel_old"],
+        out["seen_other"].astype(jnp.int32),
+        jnp.broadcast_to(out["n_steps"].astype(jnp.int32), (NR,)),
+    ])
+    # row length covers L too (a wavelength-rich run can have L > NR)
+    MP = max(NR, L)
+
+    def _padrow(v):
+        return jnp.zeros((MP,), dtype=fdtype).at[: v.shape[0]].set(v)
+
+    packed_f = jnp.stack([
+        _padrow(out["prev"]), _padrow(out["blk_dplane"]),
+        _padrow(out["lum_lost"]),
+    ])
     res = MarchResult(
         status=out["status"],
         lum=lum_out,
@@ -501,30 +613,37 @@ def march(
         trace_cells=out.get("trace_cells"),
         trace_lengths=out.get("trace_lengths"),
         trace_count=out.get("trace_count"),
+        packed_i=packed_i,
+        packed_f=packed_f,
     )
     if collect_en_sca:
         return out["u"], res, out["scaspe"]
     return out["u"], res
 
 
-def _descend(grid: Grid, fine):
-    """fine coords (N,3) -> (leaf cell, level); inline copy of
+def _descend(grid: Grid, fx, fy, fz):
+    """per-axis fine coords (N,) -> (leaf cell, level); inline copy of
     grid.octree.fine_to_cell for use inside the march body."""
     b1, b2 = grid.base
-    spl = grid.fine_per_level()
-    batch = fine.shape[:-1]
+    spl = np.asarray(grid.fine_per_level())
+    batch = fx.shape
     child_base = jnp.broadcast_to(grid.cchild[0].astype(jnp.int32), batch)
     cell = jnp.zeros(batch, dtype=jnp.int32)
     clvl = jnp.zeros(batch, dtype=jnp.int32)
     done = jnp.zeros(batch, dtype=bool)
-    finc = jnp.clip(fine, 0, grid.n_fine - 1)
+    fxc = jnp.clip(fx, 0, grid.n_fine - 1)
+    fyc = jnp.clip(fy, 0, grid.n_fine - 1)
+    fzc = jnp.clip(fz, 0, grid.n_fine - 1)
     for l in range(1, grid.max_lvl + 1):
         b = b1 if l == 1 else b2
+        s_l = int(spl[l])
         if l == 1:
-            dg = finc // int(spl[1])
+            dgx, dgy, dgz = fxc // s_l, fyc // s_l, fzc // s_l
         else:
-            dg = (finc // int(spl[l])) % b2
-        k = (dg[..., 2] * b + dg[..., 1]) * b + dg[..., 0]
+            dgx = (fxc // s_l) % b2
+            dgy = (fyc // s_l) % b2
+            dgz = (fzc // s_l) % b2
+        k = (dgz * b + dgy) * b + dgx
         new_cell = child_base + k
         cell = jnp.where(done, cell, new_cell)
         clvl = jnp.where(done, clvl, l)

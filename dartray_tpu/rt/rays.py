@@ -41,7 +41,7 @@ def _concat(parts):
     return jnp.concatenate(parts) if any(_is_dev(x) for x in parts) else np.concatenate(parts)
 
 from .. import healpix as hp
-from .march import RayBatch, MarchResult, ST_HIGH, ST_LOW, ST_GONE, march
+from .march import RayBatch, MarchResult, ST_ACTIVE, ST_HIGH, ST_LOW, ST_GONE, march
 
 NSIDE_MIN = 4  # rt_routines.f90:60
 NSIDE_MAX = 8192  # safety cap (the blocking window terminates well before)
@@ -152,11 +152,13 @@ def _to_batch(d, L, pad_to=None, fdtype=jnp.float64):
     )
 
 
-def _bucket(n, minimum=256):
-    """Round up to a power of two (bounds the number of jit specializations)."""
+def _bucket(n, minimum=1024, factor=4):
+    """Round up to minimum * factor^k (bounds the number of jit
+    specializations; each distinct batch size costs a ~10 s march compile
+    on the remote TPU, so fewer/coarser buckets beat tighter padding)."""
     m = minimum
     while m < n:
-        m *= 2
+        m *= factor
     return m
 
 
@@ -269,17 +271,11 @@ def merge_low(blocked: Blocked, nside: int):
     return merged, reco
 
 
-def collect_blocked(d: dict, res: MarchResult, status: int) -> Blocked:
-    """Extract the rays that finished the march with `status` into a
-    host-side Blocked record (luminosity/prev taken at the blocking point).
-
-    The row selection happens on-device so only the blocked rows cross the
-    host link (the full (NR, L) luminosity array is the big one)."""
-    st = np.asarray(res.status)
-    nin = len(d["src_cell"])
-    sel = np.flatnonzero(st[:nin] == status)
-    if len(sel) == 0:
-        return Blocked.empty(res.lum.shape[1])
+def collect_rows(d: dict, res_h: MarchResult, sel) -> Blocked:
+    """Extract the selected blocked rays into a host-side Blocked record
+    (luminosity/prev taken at the blocking point).  `res_h` carries the
+    scalar outputs as ready numpy arrays (one device->host conversion per
+    round); only the (NR, L) luminosity is selected on-device."""
     dsel = jnp.asarray(sel)
     return Blocked(
         src_pos=np.asarray(d["src_pos"])[sel],
@@ -288,70 +284,235 @@ def collect_blocked(d: dict, res: MarchResult, status: int) -> Blocked:
         ipix=np.asarray(d["ipix"])[sel],
         theta=np.asarray(d["theta"])[sel],
         phi=np.asarray(d["phi"])[sel],
-        lum=jnp.take(res.lum, dsel, axis=0),
-        prev=np.asarray(jnp.take(res.prev, dsel)),
-        cc_old=np.asarray(jnp.take(res.cc, dsel)),
-        isel_old=np.asarray(jnp.take(res.isel_old, dsel)),
-        dplane=np.asarray(jnp.take(res.dplane, dsel)),
+        lum=jnp.take(res_h.lum, dsel, axis=0),
+        prev=np.asarray(res_h.prev)[sel],
+        cc_old=np.asarray(res_h.cc)[sel],
+        isel_old=np.asarray(res_h.isel_old)[sel],
+        dplane=np.asarray(res_h.dplane)[sel],
     )
 
 
-def run_ladder(
+def collect_blocked(d: dict, res: MarchResult, status: int) -> Blocked:
+    """collect_rows over all rays that finished with `status`."""
+    st = np.asarray(res.status)
+    nin = len(d["src_cell"])
+    sel = np.flatnonzero(st[:nin] == status)
+    if len(sel) == 0:
+        return Blocked.empty(res.lum.shape[1])
+    host = MarchResult(
+        status=st, lum=res.lum, prev=np.asarray(res.prev),
+        cc=np.asarray(res.cc), isel_old=np.asarray(res.isel_old),
+        dplane=np.asarray(res.dplane), lum_lost=None, i_obs=None,
+        n_steps=None,
+    )
+    return collect_rows(d, host, sel)
+
+
+# ---------------------------------------------------------------------------
+# global mixed-nside round driver
+# ---------------------------------------------------------------------------
+#
+# The reference climbs/descends the nside ladder per source sector
+# (define_next_level, rt_routines.f90:2745-2770), which on an accelerator
+# fragments the work into many small latency-bound kernel launches.  Since
+# deposits commute and the blocking rules depend only on the per-ray solid
+# angle beam_i(nside), rays at *different* nside can march together in one
+# batch: beam_i becomes a per-ray array.  The driver below keeps a work
+# queue of ray packets (fresh launches, continuations, 4x splits, merges,
+# recos), assembles up to `pool_max` rays per kernel call, and classifies
+# the outcome back into the queue — a few large calls instead of hundreds
+# of small ones.
+
+POOL_MAX = 1 << 16  # rays per assembled march call
+_POOL_FIELDS = (
+    "src_pos", "src_cell", "src_idx", "ipix", "theta", "phi", "lum",
+    "prev", "cc_old", "isel_old", "dplane", "fresh", "seen_other", "nside",
+)
+
+
+def _dict_rows(d, sel):
+    """Row subset of a pool dict (device lum stays on device)."""
+    return {k: _take(d[k], sel) for k in _POOL_FIELDS if k in d}
+
+
+def _dict_slice(d, lo, hi):
+    return {
+        k: (d[k][lo:hi] if not _is_dev(d[k]) else
+            jax.lax.slice_in_dim(d[k], lo, hi, axis=0))
+        for k in _POOL_FIELDS if k in d
+    }
+
+
+def _dict_concat(parts):
+    out = {}
+    for k in _POOL_FIELDS:
+        if k in parts[0]:
+            out[k] = _concat([p[k] for p in parts])
+    return out
+
+
+def run_rounds(
     march_fn: Callable,
-    launch: dict,
+    launches,
     L: int,
     fdtype=jnp.float64,
     stats: dict | None = None,
+    src_lum_fn: Callable | None = None,
+    pool_max: int = POOL_MAX,
 ):
-    """Drive the nside ladder to completion for a batch of sources.
+    """Drive every ray of every source to completion in global rounds.
 
-    march_fn(batch: RayBatch, nside: int) -> MarchResult — closure over the
-    grid/physics/accumulators, calling march() with the right mode and the
-    solid angle per ray for `nside`.
-
-    Mirrors define_next_level (rt_routines.f90:2745-2770): climb while
-    blocked-high rays exist, then descend through the merge levels.
+    march_fn(batch: RayBatch, beam_i (m,), can_merge (m,), d: dict,
+    max_steps) -> MarchResult — closure over grid/physics/accumulators.
+    `launches` is an iterable of fresh-launch dicts (see fresh_launch),
+    consumed lazily so the queue never materializes more than ~pool_max
+    rays of fresh sources at a time.  src_lum_fn(d, nside_arr) -> (n, L)
+    overrides the launch luminosity of fresh rays (scattering stage).
     """
-    high: Dict[int, List[Blocked]] = {}
-    low: Dict[int, List[Blocked]] = {}
+    if stats is None:
+        stats = {}
+    gen = iter(launches)
+    queue: List[dict] = []
+    n_queued = 0
 
-    def do_march(d, nside):
+    def push(d):
+        nonlocal n_queued
         n = len(d["src_cell"])
-        if n == 0:
-            return
-        batch = _to_batch(d, L, pad_to=_bucket(n), fdtype=fdtype)
-        res = march_fn(batch, nside)
-        if stats is not None:
-            stats["rays"] = stats.get("rays", 0) + n
-            stats["steps"] = stats.get("steps", 0) + int(res.n_steps)
-        b_high = collect_blocked(d, res, ST_HIGH)
-        b_low = collect_blocked(d, res, ST_LOW)
-        if b_high.n:
-            high.setdefault(nside, []).append(b_high)
-        if b_low.n:
-            low.setdefault(nside, []).append(b_low)
+        if n:
+            queue.append(d)
+            n_queued += n
 
-    do_march(launch, NSIDE_MIN)
+    def assemble():
+        """Pop up to pool_max rays from the queue (+ fresh launches)."""
+        nonlocal n_queued
+        take: List[dict] = []
+        room = pool_max
+        while room > 0:
+            if not queue:
+                nxt = next(gen, None)
+                if nxt is None:
+                    break
+                if "nside" not in nxt:
+                    nxt = dict(nxt, nside=np.full(
+                        len(nxt["src_cell"]), NSIDE_MIN, dtype=np.int64))
+                push(nxt)
+                continue
+            d = queue.pop()
+            n = len(d["src_cell"])
+            n_queued -= n
+            if n <= room:
+                take.append(d)
+                room -= n
+            else:
+                take.append(_dict_slice(d, 0, room))
+                push(_dict_slice(d, room, n))
+                room = 0
+        if not take:
+            return None
+        return take[0] if len(take) == 1 else _dict_concat(take)
 
     while True:
-        if high:
-            nside = min(high)
-            pool = Blocked.concat(high.pop(nside))
-            # splitting terminates physically: beam_i shrinks 4x per level
-            # while beam_f at the blocking point is fixed, so the too-sparse
-            # condition eventually fails (NSIDE_MAX is a pure safety net)
-            if 2 * nside > NSIDE_MAX:
-                raise RuntimeError("nside ladder exceeded NSIDE_MAX")
-            do_march(split_high(pool, nside), 2 * nside)
-            continue
-        if low:
-            nside = max(low)
-            pool = Blocked.concat(low.pop(nside))
-            merged, reco = merge_low(pool, nside)
-            if reco is not None:
-                do_march(reco, nside)
-                # reco rays may add to high/low again; loop handles it
-            if merged is not None:
-                do_march(merged, nside // 2)
-            continue
-        break
+        d = assemble()
+        if d is None:
+            break
+        n = len(d["src_cell"])
+        nside = np.asarray(d["nside"])
+        if src_lum_fn is not None and np.any(d["fresh"]):
+            lum = src_lum_fn(d, nside)
+            d = dict(d)
+            if _is_dev(d["lum"]) or _is_dev(lum):
+                d["lum"] = jnp.where(
+                    jnp.asarray(d["fresh"])[:, None], jnp.asarray(lum),
+                    jnp.asarray(d["lum"]))
+            else:
+                d["lum"] = np.where(d["fresh"][:, None], lum, d["lum"])
+        m = _bucket(n)
+        batch = _to_batch(d, L, pad_to=m, fdtype=fdtype)
+        beam_i = np.ones(m)
+        beam_i[:n] = 4.0 * np.pi / (12.0 * nside.astype(np.float64) ** 2)
+        can_merge = np.zeros(m, dtype=bool)
+        can_merge[:n] = nside > 2 * NSIDE_MIN
+        import os, time
+        _dbg = os.environ.get("DARTRAY_DEBUG_ROUNDS")
+        t0 = time.perf_counter() if _dbg else 0.0
+        res = march_fn(batch, jnp.asarray(beam_i, dtype=fdtype),
+                       jnp.asarray(can_merge), d)
+        # exactly TWO device->host transfers per round (each round trip over
+        # a remote-TPU tunnel costs ~30 ms of latency); all row selection
+        # below happens in numpy — res.lum stays on device
+        pi = np.asarray(res.packed_i)
+        pf = np.asarray(res.packed_f)
+        stats["rays"] = stats.get("rays", 0) + n
+        steps_now = int(pi[6, 0])
+        stats["steps"] = stats.get("steps", 0) + steps_now
+        L_lost = stats.get("lum_lost")
+        Lw = res.lum.shape[1]
+        stats["lum_lost"] = (pf[2, :Lw] if L_lost is None
+                             else L_lost + pf[2, :Lw])
+        st = pi[0, :n]
+        res_h = MarchResult(
+            status=st,
+            lum=res.lum,
+            prev=pf[0],
+            cc=pi[1],
+            isel_old=pi[2],
+            dplane=pf[1],
+            lum_lost=None,
+            i_obs=None,
+            n_steps=steps_now,
+            cc_cur=pi[3],
+            isel_cur=pi[4],
+            seen_other=pi[5].astype(bool),
+        )
+        if _dbg:
+            t1 = time.perf_counter()
+            print(f"# round n={n} pad={m} steps={steps_now} "
+                  f"t={t1-t0:.4f}s queued={n_queued}", flush=True)
+
+        # continuations: rays still in flight after the step chunk
+        act = np.flatnonzero(st == ST_ACTIVE)
+        stats["rays"] -= len(act)  # resumed rays are not new rays
+        if len(act):
+            dsel = jnp.asarray(act)
+            push(dict(
+                src_pos=np.asarray(d["src_pos"])[act],
+                src_cell=np.asarray(d["src_cell"])[act],
+                src_idx=np.asarray(d["src_idx"])[act],
+                ipix=np.asarray(d["ipix"])[act],
+                theta=np.asarray(d["theta"])[act],
+                phi=np.asarray(d["phi"])[act],
+                lum=jnp.take(res.lum, dsel, axis=0),
+                prev=res_h.prev[act],
+                cc_old=res_h.cc_cur[act],
+                isel_old=res_h.isel_cur[act],
+                dplane=np.zeros(len(act)),
+                fresh=np.zeros(len(act), dtype=bool),
+                seen_other=res_h.seen_other[act],
+                nside=nside[act],
+            ))
+
+        # blocked-high: 4x angular refinement per nside group
+        hi_mask = st == ST_HIGH
+        if hi_mask.any():
+            for ns in np.unique(nside[hi_mask]):
+                if 2 * ns > NSIDE_MAX:
+                    raise RuntimeError("nside ladder exceeded NSIDE_MAX")
+                sel = np.flatnonzero(hi_mask & (nside == ns))
+                blk = collect_rows(d, res_h, sel)
+                push(dict(split_high(blk, int(ns)),
+                          nside=np.full(4 * len(sel), 2 * ns, dtype=np.int64)))
+
+        # blocked-low: merge 4->1 per nside group; unmatched rays re-run
+        lo_mask = st == ST_LOW
+        if lo_mask.any():
+            for ns in np.unique(nside[lo_mask]):
+                sel = np.flatnonzero(lo_mask & (nside == ns))
+                blk = collect_rows(d, res_h, sel)
+                merged, reco = merge_low(blk, int(ns))
+                if merged is not None:
+                    push(dict(merged, nside=np.full(
+                        len(merged["src_cell"]), ns // 2, dtype=np.int64)))
+                if reco is not None:
+                    push(dict(reco, nside=np.full(
+                        len(reco["src_cell"]), ns, dtype=np.int64)))
+    return stats

@@ -308,9 +308,13 @@ def run_scattering(
             point=False,
         )
 
+        # one host copy per iteration: assign_src_lum reads it per launch
+        # packet (copying the device scaspe per packet would dominate)
+        scaspe_prev_np = ScaspeConfig.asarray(scaspe_prev)
+
         def src_lum_fn(d, nside):
             return scfg.assign_src_lum(
-                scaspe_prev, d["src_cell"], d["theta"], d["phi"]
+                scaspe_prev_np, d["src_cell"], d["theta"], d["phi"]
             )
 
         r = E.run_field_stage(
