@@ -154,6 +154,135 @@ def point_to_cell(grid: Grid, pos):
 
 
 # ---------------------------------------------------------------------------
+# face-neighbour navigation table
+# ---------------------------------------------------------------------------
+#
+# TPU gathers cost ~10-15 ns *per row* regardless of width (no hardware
+# gather), so the octree descent of the march hot loop (up to max_lvl
+# dependent 1-wide gathers per ray per step, the dominant cost of the whole
+# framework) is replaced by ONE 8-wide row gather from this precomputed
+# table.  The reference's equivalent is the neighbour bookkeeping of
+# find_neighbours + ccindd_to_cc (smooth_grid_routines.f90:656-748,820-852);
+# here it is precomputed once per grid because the grid is static during RT.
+
+NAV_W = 8  # row: [nbr, child_base, nbr_lvl, fx0, fy0, fz0, pad, pad]
+
+
+def cell_fine_origin(grid: Grid) -> np.ndarray:
+    """(N, 3) int32 fine-coordinate origin (lowest corner) of every cell."""
+    fine_size = grid.modelsize / grid.n_fine
+    corner = (
+        np.asarray(grid.ccoord, dtype=np.float64)
+        - np.asarray(grid.csize, dtype=np.float64)[:, None] / 2.0
+        + grid.modelsize / 2.0
+    )
+    return np.rint(corner / fine_size).astype(np.int32)
+
+
+def build_nav_table(grid: Grid, validate: bool = True) -> np.ndarray:
+    """(N*6, NAV_W) int32 navigation table.
+
+    Row ``cell*6 + face`` with ``face = axis*2 + (1 if leaving through the
+    +axis wall else 0)`` holds, for the region adjacent to that wall:
+
+      [nbr, child_base, nbr_lvl, fx0, fy0, fz0, 0, 0]
+
+    where ``nbr`` is the deepest tree node at depth <= lvl(cell) containing
+    the region (-1 outside the grid), ``child_base = cchild[nbr]`` (-1 when
+    nbr is a leaf), ``nbr_lvl`` its level and ``f*0`` its fine-coordinate
+    origin.  Because neighbouring leaves differ by at most one level (the
+    grid grading enforced at construction, check_level_jump
+    smooth_grid_routines.f90:774-791), a single conditional descent from
+    ``nbr`` resolves the leaf the ray enters.
+    """
+    cchild = np.asarray(grid.cchild, dtype=np.int64)
+    lvl = np.asarray(grid.lvl, dtype=np.int64)
+    n = len(cchild)
+    b1, b2 = grid.base
+    spl = grid.fine_per_level().astype(np.int64)
+    n_fine = grid.n_fine
+    f0 = cell_fine_origin(grid).astype(np.int64)  # (N,3)
+    span = spl[lvl]  # (N,)
+
+    # face-adjacent query point (one fine cell beyond the wall)
+    q = np.repeat(f0[:, None, :], 6, axis=1)  # (N, 6, 3)
+    for ax in range(3):
+        q[:, ax * 2 + 0, ax] = f0[:, ax] - 1
+        q[:, ax * 2 + 1, ax] = f0[:, ax] + span
+    q = q.reshape(n * 6, 3)
+    lvl_q = np.repeat(lvl, 6)
+    outside = np.any((q < 0) | (q >= n_fine), axis=1)
+
+    # vectorized walk to depth lvl_q (or the first leaf above it)
+    node = np.zeros(n * 6, dtype=np.int64)
+    nlvl = np.zeros(n * 6, dtype=np.int64)
+    origin = np.zeros((n * 6, 3), dtype=np.int64)
+    child_base = np.full(n * 6, cchild[0], dtype=np.int64)
+    done = outside.copy()
+    for l in range(1, grid.max_lvl + 1):
+        if l == 1:
+            d = q // spl[1]
+        else:
+            d = (q // spl[l]) % b2
+        b = b1 if l == 1 else b2
+        k = (d[:, 2] * b + d[:, 1]) * b + d[:, 0]
+        new_node = child_base + k
+        step = ~done & (lvl_q >= l)
+        node = np.where(step, new_node, node)
+        nlvl = np.where(step, l, nlvl)
+        origin = np.where(step[:, None], origin + d * spl[l], origin)
+        cb = cchild[np.clip(new_node, 0, n - 1)]
+        done = done | (step & ((cb == -1) | (lvl_q == l)))
+        child_base = np.where(~done & step, cb, child_base)
+
+    cbase_final = np.where(outside, -1, cchild[np.clip(node, 0, n - 1)])
+    node = np.where(outside, -1, node)
+
+    # only leaf-cell rows are ever used (rays traverse leaves); interior
+    # rows are marked unusable
+    leaf_row = np.repeat(cchild == -1, 6)
+    node = np.where(leaf_row, node, -2)
+    cbase_final = np.where(leaf_row, cbase_final, -2)
+
+    if validate:
+        # grading check: every face-adjacent child of an interior nbr node
+        # must be a leaf (otherwise one descent step is not enough)
+        interior = leaf_row & ~outside & (cbase_final >= 0)
+        rows = np.flatnonzero(interior)
+        if rows.size:
+            ax = (rows % 6) // 2
+            pos_face = (rows % 6) % 2 == 1  # cell leaves through +ax ⇒ enter
+            # nbr from its -ax side ⇒ children with digit 0 on ax (and b2-1
+            # for the opposite case)
+            dg_ax = np.where(pos_face, 0, b2 - 1)
+            base_k = cbase_final[rows]
+            o1, o2 = np.arange(b2), np.arange(b2)
+            for da in range(b2):
+                for db in range(b2):
+                    d3 = np.empty((rows.size, 3), dtype=np.int64)
+                    d3[np.arange(rows.size), ax] = dg_ax
+                    other = [(0, 1, 2), (1, 0, 2), (2, 0, 1)]
+                    for a in range(3):
+                        m = ax == a
+                        d3[m, other[a][1]] = da
+                        d3[m, other[a][2]] = db
+                    k = (d3[:, 2] * b2 + d3[:, 1]) * b2 + d3[:, 0]
+                    ch = base_k + k
+                    if np.any(cchild[np.clip(ch, 0, n - 1)] != -1):
+                        raise ValueError(
+                            "grid is not graded (neighbouring leaves differ "
+                            "by more than one level); nav table unusable"
+                        )
+
+    out = np.zeros((n * 6, NAV_W), dtype=np.int32)
+    out[:, 0] = node
+    out[:, 1] = np.where(outside, -1, cbase_final)
+    out[:, 2] = nlvl
+    out[:, 3:6] = np.where(outside[:, None], 0, origin)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # numpy mirrors (host-side tooling: grid builder, I/O checks)
 # ---------------------------------------------------------------------------
 

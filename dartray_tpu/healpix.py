@@ -218,6 +218,108 @@ vec2pix_nest = _jax.jit(_vec2pix_nest_impl, static_argnums=0)
 
 
 # ---------------------------------------------------------------------------
+# numpy mirrors — for the HOST side of the ray management (split/merge
+# bookkeeping runs in numpy between march rounds; calling the jitted
+# versions there would trigger a fresh device compile for every new ray
+# count, ~50 ms each over a remote-TPU link)
+# ---------------------------------------------------------------------------
+
+
+def _np_spread_bits(x):
+    x = np.asarray(x, np.int64)
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFF
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FF
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0F
+    x = (x | (x << 2)) & 0x3333333333333333
+    x = (x | (x << 1)) & 0x5555555555555555
+    return x
+
+
+def _np_compress_bits(x):
+    x = np.asarray(x, np.int64) & 0x5555555555555555
+    x = (x | (x >> 1)) & 0x3333333333333333
+    x = (x | (x >> 2)) & 0x0F0F0F0F0F0F0F0F
+    x = (x | (x >> 4)) & 0x00FF00FF00FF00FF
+    x = (x | (x >> 8)) & 0x0000FFFF0000FFFF
+    x = (x | (x >> 16)) & 0x00000000FFFFFFFF
+    return x
+
+
+def np_pix2ang_nest(nside: int, ipix):
+    """numpy mirror of pix2ang_nest (float64)."""
+    ipix = np.asarray(ipix, np.int64)
+    npface = nside * nside
+    face = ipix // npface
+    ipf = ipix - face * npface
+    ix = _np_compress_bits(ipf)
+    iy = _np_compress_bits(ipf >> 1)
+    jrt = ix + iy
+    jpt = ix - iy
+    jr = _JRLL[face] * nside - jrt - 1
+    nl4 = 4 * nside
+    fact1 = 1.0 / (3.0 * nside * nside)
+    fact2 = 2.0 / (3.0 * nside)
+    north = jr < nside
+    south = jr > 3 * nside
+    equat = ~(north | south)
+    nr = np.where(north, jr, np.where(south, nl4 - jr, nside))
+    z = np.where(
+        north,
+        1.0 - nr.astype(np.float64) ** 2 * fact1,
+        np.where(
+            south,
+            -1.0 + nr.astype(np.float64) ** 2 * fact1,
+            (2 * nside - jr).astype(np.float64) * fact2,
+        ),
+    )
+    kshift = np.where(equat, (jr - nside) & 1, 0)
+    jp = (_JPLL[face] * nr + jpt + 1 + kshift) // 2
+    jp = np.where(jp > nl4, jp - nl4, jp)
+    jp = np.where(jp < 1, jp + nl4, jp)
+    theta = np.arccos(np.clip(z, -1.0, 1.0))
+    phi = (jp.astype(np.float64) - (kshift + 1.0) * 0.5) * (
+        np.pi / 2.0 / nr.astype(np.float64)
+    )
+    return theta, phi
+
+
+def np_ang2pix_nest(nside: int, theta, phi):
+    """numpy mirror of ang2pix_nest."""
+    theta = np.asarray(theta, np.float64)
+    phi = np.asarray(phi, np.float64)
+    z = np.cos(theta)
+    za = np.abs(z)
+    tt = np.mod(phi, 2.0 * np.pi) * (2.0 / np.pi)
+    temp1 = nside * (0.5 + tt)
+    temp2 = nside * (z * 0.75)
+    jp = np.floor(temp1 - temp2).astype(np.int64)
+    jm = np.floor(temp1 + temp2).astype(np.int64)
+    ifp = jp // nside
+    ifm = jm // nside
+    face_eq = np.where(
+        ifp == ifm, (ifp & 3) + 4, np.where(ifp < ifm, ifp & 3, (ifm & 3) + 8)
+    )
+    ix_eq = jm & (nside - 1)
+    iy_eq = (nside - 1) - (jp & (nside - 1))
+    ntt = np.clip(np.floor(tt).astype(np.int64), 0, 3)
+    tp = tt - ntt
+    tmp = nside * np.sqrt(3.0 * (1.0 - za))
+    jp_p = np.minimum(np.floor(tp * tmp).astype(np.int64), nside - 1)
+    jm_p = np.minimum(np.floor((1.0 - tp) * tmp).astype(np.int64), nside - 1)
+    north = z >= 0
+    face_po = np.where(north, ntt, ntt + 8)
+    ix_po = np.where(north, nside - jm_p - 1, jp_p)
+    iy_po = np.where(north, nside - jp_p - 1, jm_p)
+    eq = za <= 2.0 / 3.0
+    face = np.where(eq, face_eq, face_po)
+    ix = np.where(eq, ix_eq, ix_po)
+    iy = np.where(eq, iy_eq, iy_po)
+    return face * (nside * nside) + _np_spread_bits(ix) + (
+        _np_spread_bits(iy) << 1
+    )
+
+
+# ---------------------------------------------------------------------------
 # neighbours (NESTED scheme)
 # ---------------------------------------------------------------------------
 

@@ -22,10 +22,30 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..grid.octree import Grid
+from ..grid.octree import Grid, build_nav_table
 from .. import healpix as hp
 from . import march as M
 from . import rays as R
+
+# face-neighbour navigation tables, one per grid (built once; the grid is
+# immutable during RT).  Keyed by id() with the grid kept referenced so ids
+# cannot be recycled.
+_NAV_CACHE: dict = {}
+
+
+def grid_nav(grid: Grid):
+    """Device nav table for `grid` (see octree.build_nav_table); None if the
+    grid is not graded (the march then falls back to the descend walk)."""
+    key = id(grid)
+    hit = _NAV_CACHE.get(key)
+    if hit is not None and hit[0] is grid:
+        return hit[1]
+    try:
+        nav = jnp.asarray(build_nav_table(grid), dtype=jnp.int32)
+    except ValueError:
+        nav = None
+    _NAV_CACHE[key] = (grid, nav)
+    return nav
 
 
 @dataclasses.dataclass
@@ -193,6 +213,7 @@ def run_field_stage(
         wall_lo=wall_lo,
         wall_hi=wall_hi,
         max_steps=step_chunk,
+        nav=grid_nav(grid),
     )
     if scaspe_cfg is not None:
         kw.update(
@@ -208,19 +229,20 @@ def run_field_stage(
             scaspe_lam_idx=scaspe_cfg.lam_idx_tuple(),
         )
 
-    def march_fn(batch, beam_i, can_merge, _d=None):
+    def march_fn(batch, beam_i, can_merge, _d=None, small=False):
         nonlocal u, scaspe
+        kw_r = kw if not small else dict(kw, max_steps=8 * kw["max_steps"])
         if scaspe_cfg is not None:
             u_new, res, scaspe_new = M.march(
                 grid, dens_ref, kext_norm, albedo, u_fest, u, batch,
                 beam_i=beam_i, allow_block=can_merge,
-                scaspe_accum=scaspe, **kw,
+                scaspe_accum=scaspe, **kw_r,
             )
             scaspe = scaspe_new
         else:
             u_new, res = M.march(
                 grid, dens_ref, kext_norm, albedo, u_fest, u, batch,
-                beam_i=beam_i, allow_block=can_merge, **kw,
+                beam_i=beam_i, allow_block=can_merge, **kw_r,
             )
         u = u_new
         return res
@@ -281,13 +303,14 @@ def trace_iobs_rays(
     )
     from . import rays as R
 
-    batch = R._to_batch(d, L, pad_to=R._bucket(ns), fdtype=fdtype)
+    batch, _, _ = R._to_batch(d, L, pad_to=R._bucket(ns), fdtype=fdtype)
     dens_ref = jnp.asarray(grid.dens_ref, dtype=fdtype)
     zero_u = jnp.zeros((grid.n_cells, L), dtype=fdtype)
     _, res = M.march(
         grid, dens_ref, jnp.asarray(phys.kext_norm, dtype=fdtype),
         jnp.asarray(phys.albedo, dtype=fdtype), zero_u, zero_u, batch,
         mode=M.MODE_IOBS, point_source=sources.point, trace_steps=trace_steps,
+        nav=grid_nav(grid),
     )
     traces = dict(
         cells=np.asarray(res.trace_cells)[:ns],
@@ -334,7 +357,7 @@ def run_iobs_stage(
 
     def run_rays(d, mode, vec_mod=None):
         n = len(d["src_cell"])
-        batch = R._to_batch(d, L, pad_to=R._bucket(n), fdtype=fdtype)
+        batch, _, _ = R._to_batch(d, L, pad_to=R._bucket(n), fdtype=fdtype)
         if vec_mod is not None:
             vm = np.zeros(batch.n)
             vm[:n] = vec_mod
@@ -344,6 +367,7 @@ def run_iobs_stage(
         _, res = M.march(
             grid, dens_ref, kext_norm, albedo, zero_u, zero_u, batch,
             mode=mode, point_source=sources.point, vec_mod=vm,
+            nav=grid_nav(grid),
         )
         return np.asarray(res.i_obs)[:n]
 

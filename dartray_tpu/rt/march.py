@@ -30,6 +30,7 @@ a 42x padding waste on every elementwise op of the hot loop; per-axis
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -37,6 +38,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..grid.octree import Grid
+
+# profiling-only ablation switches (scripts/prof_march.py): comma-separated
+# tokens in DARTRAY_ABLATE disable body pieces to bisect the per-iteration
+# cost.  Read at trace time; never set in production runs.
+_ABLATE = frozenset(
+    t for t in os.environ.get("DARTRAY_ABLATE", "").split(",") if t
+)
 
 # status codes
 ST_ACTIVE = 0
@@ -97,10 +105,13 @@ class MarchResult:
     # all scalar per-ray outputs stacked into two arrays so the host driver
     # needs exactly TWO device->host transfers per round (each transfer
     # costs ~30 ms of latency over a remote-TPU tunnel):
-    packed_i: jax.Array = None  # (7, NR) int32: status, blk_cc, blk_isel,
+    packed_i: jax.Array = None  # (7, MP) int32: status, blk_cc, blk_isel,
     #                              cc_cur, isel_cur, seen_other, n_steps
-    packed_f: jax.Array = None  # (3, NR) fdtype: prev, blk_dplane,
+    packed_f: jax.Array = None  # (3, MP) fdtype: prev, blk_dplane,
     #                              lum_lost (row 2, first L entries)
+    packed_all: jax.Array = None  # (10, MP) int32: packed_i rows stacked on
+    #                              the float32-bitcast packed_f rows, so the
+    #                              host needs ONE transfer (f32 sessions only)
 
 
 def _dir_components(theta, phi):
@@ -111,6 +122,21 @@ def _dir_components(theta, phi):
 def _sel3(isel, x, y, z):
     """Component of (x, y, z) selected by axis index isel (0/1/2)."""
     return jnp.where(isel == 0, x, jnp.where(isel == 1, y, z))
+
+
+def _level_select(clvl, table_np, dtype=None):
+    """table[clvl] for a tiny per-level table, as a where-chain.
+
+    A data gather from a 5-entry table costs the same ~1 ms per 64k rays
+    as any other gather inside the hot loop; a select chain is fused into
+    the surrounding elementwise kernel for free.
+    """
+    table_np = np.asarray(table_np)
+    out = jnp.full(clvl.shape, table_np[0].item(),
+                   dtype=dtype or jnp.result_type(table_np))
+    for l in range(1, len(table_np)):
+        out = jnp.where(clvl == l, table_np[l].item(), out)
+    return out
 
 
 @partial(
@@ -152,6 +178,7 @@ def march(
     scaspe_npix_hp=None,  # static tuple of ints: HEALPix pixels per bucket
     scaspe_lam_idx=None,  # tuple of (L_k,) int32 wavelength indices per bucket
     scaspe_accum=None,  # tuple of (ncell, P_k, L_k) accumulators
+    nav=None,  # (ncell*6, NAV_W) int32 face-neighbour table (octree.build_nav_table)
 ):
     """Advance every ray to completion (exit / kill / block).
 
@@ -168,18 +195,23 @@ def march(
     NR = rays.n
     L = kext_norm.shape[0]
     fdtype = rays.lum.dtype
-    csize_lv = jnp.asarray(grid.csize_levels(), dtype=fdtype)
+    csize_lv_np = grid.csize_levels()
+    csize_lv = jnp.asarray(csize_lv_np, dtype=fdtype)
     n_fine = grid.n_fine
     max_lvl = grid.max_lvl
     b1, b2 = grid.base
     spl_np = np.asarray(grid.fine_per_level())  # static per-level side counts
-    spl = jnp.asarray(spl_np, dtype=jnp.int32)
     half = jnp.asarray(grid.modelsize / 2.0, dtype=fdtype)
 
-    # per-axis grid coordinate tables (gather-friendly (ncell,) layout)
-    gxx = grid.ccoord[:, 0].astype(fdtype)
-    gyy = grid.ccoord[:, 1].astype(fdtype)
-    gzz = grid.ccoord[:, 2].astype(fdtype)
+    # per-cell data packed into one row table: TPU gathers cost ~constant
+    # time per ROW (width nearly free), so coords+density+[u_fest] are
+    # fetched with a single row gather per intersection instead of 4-36
+    # separate 1-wide gathers
+    fdat_cols = [grid.ccoord.astype(fdtype), dens_ref[:, None].astype(fdtype)]
+    pack_ufest = mode == MODE_DIRECT
+    if pack_ufest:
+        fdat_cols.append(u_fest.astype(fdtype))
+    fdat = jnp.concatenate(fdat_cols, axis=1)  # (ncell, 4[+L])
 
     st_ = jnp.sin(rays.theta)
     dx = (st_ * jnp.cos(rays.phi)).astype(fdtype)
@@ -337,10 +369,11 @@ def march(
         seen_other = s["seen_other"] | (act & (cc != nc) & (cc != start_cell))
         flag_beam = ~seen_other
 
-        gx_c = gxx[ccs]
-        gy_c = gyy[ccs]
-        gz_c = gzz[ccs]
-        csize_c = csize_lv[clvl]  # (NR,)
+        crow = fdat[ccs]  # (NR, 4[+L]): the one per-cell row gather
+        gx_c = crow[:, 0]
+        gy_c = crow[:, 1]
+        gz_c = crow[:, 2]
+        csize_c = _level_select(clvl, csize_lv_np, fdtype)  # (NR,)
         hcs = 0.5 * csize_c
 
         # ---- calc_psel (rt_routines.f90:2307-2351) ----
@@ -356,7 +389,7 @@ def march(
         has_len = length > 0
 
         # ---- deposit physics (rt_routines.f90:2362-2557) ----
-        dref = dens_ref[ccs].astype(fdtype)  # (NR,)
+        dref = crow[:, 3]  # (NR,)
         tau = dref[:, None] * kext_norm[None, :] * length[:, None]  # (NR,L)
         exp_tau = jnp.exp(-tau)
         I = s["intensity"]
@@ -406,7 +439,7 @@ def march(
             # ray-precision criterion: kill lambdas whose future
             # contribution is below f_U * U_LL (rt_routines.f90:2473-2491)
             u_beam = i_av * (csize_c / cs / vol_f * area_i * beam_f)[:, None]
-            ull = u_fest[ccs]
+            ull = crow[:, 4:]
             kill = u_beam < en_lim * ull
             kill_mask = (has_len & too_sparse)[:, None] & kill
             wall_hit = (
@@ -432,7 +465,10 @@ def march(
 
         # deposit energy density: i_av * length / cs / vol_f * area_i * beam_i
         du = i_av * (length / cs / vol_f * area_i * beam_i)[:, None]
-        u = s["u"].at[ccs].add(jnp.where(do_dep[:, None], du, 0.0))
+        if "noscatter" in _ABLATE:
+            u = s["u"]
+        else:
+            u = s["u"].at[ccs].add(jnp.where(do_dep[:, None], du, 0.0))
 
         if collect_en_sca:
             # scattered energy created in this intersection
@@ -491,17 +527,19 @@ def march(
             i_obs = s["i_obs"]
 
         # ---- advance to the next cell (rt_routines.f90:1778-1841) ----
-        sz_c = spl[clvl]  # fine cells per current-cell side
+        sz_c = _level_select(clvl, spl_np, jnp.int32)  # fine cells per side
         fsel = _sel3(isel, fx, fy, fz)
         inc_sel = _sel3(isel, incx, incy, incz)
         blk = fsel // sz_c
         fnew_sel = jnp.where(inc_sel > 0, (blk + 1) * sz_c, blk * sz_c - 1)
-        out_grid = (fnew_sel < 0) | (fnew_sel >= n_fine)
 
         # other axes: recompute fine coords from the crossing position
-        rx, ry, rz = _refloor(
-            psel * dx + sx + half, psel * dy + sy + half, psel * dz + sz + half
-        )
+        if "norefloor" in _ABLATE:
+            rx, ry, rz = fx, fy, fz
+        else:
+            rx, ry, rz = _refloor(
+                psel * dx + sx + half, psel * dy + sy + half, psel * dz + sz + half
+            )
         # monotonicity guard: the float recompute can land exactly on a cell
         # boundary and round back *behind* a wall the ray already crossed
         # (degenerate diagonal rays through cell corners), which would
@@ -518,7 +556,46 @@ def march(
         fy_n = jnp.where(isel == 1, fnew_sel, my)
         fz_n = jnp.where(isel == 2, fnew_sel, mz)
 
-        cc_next, clvl_next = _descend(grid, fx_n, fy_n, fz_n)
+        if nav is not None:
+            # one row gather resolves the next cell: face-neighbour node +
+            # one conditional descent step (grading guarantees leaves across
+            # a face differ by <= 1 level)
+            face = isel * 2 + (inc_sel > 0).astype(jnp.int32)
+            nrow = nav[jnp.clip(ccs * 6 + face, 0, nav.shape[0] - 1)]
+            nbr = nrow[:, 0]
+            cbase = nrow[:, 1]
+            nlvl = nrow[:, 2]
+            out_grid = nbr < 0
+            is_leaf = cbase < 0
+            splc = _level_select(
+                jnp.clip(nlvl + 1, 0, max_lvl), spl_np, jnp.int32
+            )  # child-cell span of an interior nbr
+
+            def _dig(f, o):
+                return jnp.clip((f - o) // splc, 0, b2 - 1)
+
+            dgx = _dig(fx_n, nrow[:, 3])
+            dgy = _dig(fy_n, nrow[:, 4])
+            dgz = _dig(fz_n, nrow[:, 5])
+            kidx = (dgz * b2 + dgy) * b2 + dgx
+            cc_next = jnp.where(is_leaf, nbr, cbase + kidx)
+            clvl_next = jnp.where(is_leaf, nlvl, nlvl + 1).astype(jnp.int32)
+            # clamp the fine coords into the entered cell so the integer
+            # cell addressing stays consistent at degenerate corner
+            # crossings (the float geometry above is exact regardless)
+            span_n = _level_select(clvl_next, spl_np, jnp.int32)
+            ox = jnp.where(is_leaf, nrow[:, 3], nrow[:, 3] + dgx * splc)
+            oy = jnp.where(is_leaf, nrow[:, 4], nrow[:, 4] + dgy * splc)
+            oz = jnp.where(is_leaf, nrow[:, 5], nrow[:, 5] + dgz * splc)
+            fx_n = jnp.clip(fx_n, ox, ox + span_n - 1)
+            fy_n = jnp.clip(fy_n, oy, oy + span_n - 1)
+            fz_n = jnp.clip(fz_n, oz, oz + span_n - 1)
+        else:
+            out_grid = (fnew_sel < 0) | (fnew_sel >= n_fine)
+            if "nodescend" in _ABLATE:
+                cc_next, clvl_next = (cc + 1) % grid.n_cells, clvl
+            else:
+                cc_next, clvl_next = _descend(grid, fx_n, fy_n, fz_n)
 
         # ---- status resolution ----
         blocked = act & (go_high | go_low)
@@ -578,25 +655,32 @@ def march(
     out = jax.lax.while_loop(cond, body, state)
 
     lum_out = out["intensity"] * (4.0 * jnp.pi * csize_nc**2)[:, None]
-    packed_i = jnp.stack([
-        out["status"],
-        out["blk_cc"],
-        out["blk_isel"],
-        out["cc"],
-        out["isel_old"],
-        out["seen_other"].astype(jnp.int32),
-        jnp.broadcast_to(out["n_steps"].astype(jnp.int32), (NR,)),
-    ])
     # row length covers L too (a wavelength-rich run can have L > NR)
     MP = max(NR, L)
 
-    def _padrow(v):
-        return jnp.zeros((MP,), dtype=fdtype).at[: v.shape[0]].set(v)
+    def _padrow(v, dt):
+        return jnp.zeros((MP,), dtype=dt).at[: v.shape[0]].set(v)
 
-    packed_f = jnp.stack([
-        _padrow(out["prev"]), _padrow(out["blk_dplane"]),
-        _padrow(out["lum_lost"]),
+    packed_i = jnp.stack([
+        _padrow(out["status"], jnp.int32),
+        _padrow(out["blk_cc"], jnp.int32),
+        _padrow(out["blk_isel"], jnp.int32),
+        _padrow(out["cc"], jnp.int32),
+        _padrow(out["isel_old"], jnp.int32),
+        _padrow(out["seen_other"].astype(jnp.int32), jnp.int32),
+        jnp.broadcast_to(out["n_steps"].astype(jnp.int32), (MP,)),
     ])
+    packed_f = jnp.stack([
+        _padrow(out["prev"], fdtype), _padrow(out["blk_dplane"], fdtype),
+        _padrow(out["lum_lost"], fdtype),
+    ])
+    packed_all = (
+        jnp.concatenate(
+            [packed_i, jax.lax.bitcast_convert_type(packed_f, jnp.int32)]
+        )
+        if fdtype == jnp.float32
+        else None
+    )
     res = MarchResult(
         status=out["status"],
         lum=lum_out,
@@ -615,6 +699,7 @@ def march(
         trace_count=out.get("trace_count"),
         packed_i=packed_i,
         packed_f=packed_f,
+        packed_all=packed_all,
     )
     if collect_en_sca:
         return out["u"], res, out["scaspe"]

@@ -95,7 +95,7 @@ def fresh_launch(src_pos, src_cell, src_idx, lum, nside=NSIDE_MIN, pix_subset=No
     npix = 12 * nside * nside if pix_subset is None else len(pix_subset)
     pix = np.arange(12 * nside * nside) if pix_subset is None else np.asarray(pix_subset)
     ns = len(src_cell)
-    theta, phi = hp.pix2ang_nest(nside, pix)
+    theta, phi = hp.np_pix2ang_nest(nside, pix)
     theta = np.asarray(theta)
     phi = np.asarray(phi)
 
@@ -119,7 +119,14 @@ def fresh_launch(src_pos, src_cell, src_idx, lum, nside=NSIDE_MIN, pix_subset=No
 
 
 def _to_batch(d, L, pad_to=None, fdtype=jnp.float64):
-    """Host dict -> padded device RayBatch."""
+    """Host dict -> padded device RayBatch.
+
+    All host-side per-ray scalars are packed into TWO matrices uploaded
+    with one transfer each (every separate jnp.asarray costs a full
+    host->device round trip over a remote-TPU tunnel); only the (m, L)
+    luminosity goes up on its own (it is often already device-resident
+    from the previous round).
+    """
     n = len(d["src_cell"])
     m = pad_to or n
     pad = m - n
@@ -136,20 +143,47 @@ def _to_batch(d, L, pad_to=None, fdtype=jnp.float64):
         w = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
         return np.pad(a, w, constant_values=fill)
 
-    return RayBatch(
-        src_pos=jnp.asarray(p(d["src_pos"]), dtype=fdtype),
-        src_cell=jnp.asarray(p(d["src_cell"]), dtype=jnp.int32),
-        theta=jnp.asarray(p(d["theta"]), dtype=fdtype),
-        phi=jnp.asarray(p(d["phi"]), dtype=fdtype),
-        ipix=jnp.asarray(p(d["ipix"]), dtype=jnp.int32),
-        lum=jnp.asarray(p(d["lum"]), dtype=fdtype),
-        prev=jnp.asarray(p(d["prev"]), dtype=fdtype),
-        cc_old=jnp.asarray(p(d["cc_old"]), dtype=jnp.int32),
-        isel_old=jnp.asarray(p(d["isel_old"]), dtype=jnp.int32),
-        fresh=jnp.asarray(p(d["fresh"]), dtype=bool),
-        seen_other=jnp.asarray(p(d.get("seen_other", np.zeros(n, dtype=bool))), dtype=bool),
-        active=jnp.asarray(np.arange(m) < n),
+    fm = np.zeros((7, m), dtype=np.dtype(fdtype))
+    fm[0:3, :n] = np.asarray(d["src_pos"]).T
+    fm[3, :n] = d["theta"]
+    fm[4, :n] = d["phi"]
+    fm[5, :n] = d["prev"]
+    if "nside" in d:
+        fm[6, :n] = 4.0 * np.pi / (
+            12.0 * np.asarray(d["nside"], dtype=np.float64) ** 2
+        )
+    fm[6, n:] = 1.0
+    im = np.zeros((5, m), dtype=np.int32)
+    im[0, :n] = d["src_cell"]
+    im[1, :n] = d["ipix"]
+    im[2, :n] = d["isel_old"]
+    im[3, :n] = (
+        np.asarray(d["fresh"], dtype=np.int32)
+        + 2 * np.asarray(d.get("seen_other", np.zeros(n, dtype=bool)),
+                         dtype=np.int32)
     )
+    if "nside" in d:
+        im[3, :n] += 4 * (np.asarray(d["nside"]) > 2 * NSIDE_MIN)
+    im[4, :n] = 1  # active
+    fm_d = jnp.asarray(fm)
+    im_d = jnp.asarray(im)
+    batch = RayBatch(
+        src_pos=fm_d[0:3].T,
+        src_cell=im_d[0],
+        theta=fm_d[3],
+        phi=fm_d[4],
+        ipix=im_d[1],
+        lum=jnp.asarray(p(d["lum"]), dtype=fdtype),
+        prev=fm_d[5],
+        cc_old=im_d[0],
+        isel_old=im_d[2],
+        fresh=(im_d[3] & 1) == 1,
+        seen_other=(im_d[3] & 2) == 2,
+        active=im_d[4] == 1,
+    )
+    beam_i = fm_d[6]
+    can_merge = (im_d[3] & 4) == 4
+    return batch, beam_i, can_merge
 
 
 def _bucket(n, minimum=1024, factor=4):
@@ -167,7 +201,7 @@ def split_high(blocked: Blocked, nside: int):
     blocking point (main_dir_loop rt_routines.f90:1389-1396)."""
     n = blocked.n
     child_pix = (blocked.ipix[:, None] * 4 + np.arange(4)[None, :]).ravel()
-    theta, phi = hp.pix2ang_nest(2 * nside, child_pix)
+    theta, phi = hp.np_pix2ang_nest(2 * nside, child_pix)
     rep = lambda a: np.repeat(a, 4, axis=0)
     return dict(
         src_pos=rep(blocked.src_pos),
@@ -229,7 +263,7 @@ def merge_low(blocked: Blocked, nside: int):
     if merged_idx.size:
         mr = merged_idx.reshape(-1, 4)  # (m, 4)
         ppix = parent[mr[:, 0]]
-        theta, phi = hp.pix2ang_nest(nside // 2, ppix)
+        theta, phi = hp.np_pix2ang_nest(nside // 2, ppix)
         merged = dict(
             src_pos=blocked.src_pos[mr[:, 0]],
             src_cell=blocked.src_cell[mr[:, 0]],
@@ -427,21 +461,25 @@ def run_rounds(
             else:
                 d["lum"] = np.where(d["fresh"][:, None], lum, d["lum"])
         m = _bucket(n)
-        batch = _to_batch(d, L, pad_to=m, fdtype=fdtype)
-        beam_i = np.ones(m)
-        beam_i[:n] = 4.0 * np.pi / (12.0 * nside.astype(np.float64) ** 2)
-        can_merge = np.zeros(m, dtype=bool)
-        can_merge[:n] = nside > 2 * NSIDE_MIN
+        batch, beam_i, can_merge = _to_batch(d, L, pad_to=m, fdtype=fdtype)
         import os, time
         _dbg = os.environ.get("DARTRAY_DEBUG_ROUNDS")
         t0 = time.perf_counter() if _dbg else 0.0
-        res = march_fn(batch, jnp.asarray(beam_i, dtype=fdtype),
-                       jnp.asarray(can_merge), d)
-        # exactly TWO device->host transfers per round (each round trip over
-        # a remote-TPU tunnel costs ~30 ms of latency); all row selection
-        # below happens in numpy — res.lum stays on device
-        pi = np.asarray(res.packed_i)
-        pf = np.asarray(res.packed_f)
+        # below half pool there is little to compact: let the kernel run
+        # longer between (latency-bound) host round trips — the while cond
+        # exits as soon as every ray finishes, so long chunks cost nothing
+        small = n <= pool_max // 2
+        res = march_fn(batch, beam_i, can_merge, d, small=small)
+        # ONE device->host transfer per round (each round trip over a
+        # remote-TPU tunnel costs ~ms of latency); all row selection below
+        # happens in numpy — res.lum stays on device
+        if res.packed_all is not None:
+            pa = np.asarray(res.packed_all)
+            pi = pa[:7]
+            pf = pa[7:].view(np.float32)
+        else:
+            pi = np.asarray(res.packed_i)
+            pf = np.asarray(res.packed_f)
         stats["rays"] = stats.get("rays", 0) + n
         steps_now = int(pi[6, 0])
         stats["steps"] = stats.get("steps", 0) + steps_now
@@ -468,6 +506,7 @@ def run_rounds(
             t1 = time.perf_counter()
             print(f"# round n={n} pad={m} steps={steps_now} "
                   f"t={t1-t0:.4f}s queued={n_queued}", flush=True)
+        t_post0 = time.perf_counter() if _dbg else 0.0
 
         # continuations: rays still in flight after the step chunk
         act = np.flatnonzero(st == ST_ACTIVE)
@@ -515,4 +554,8 @@ def run_rounds(
                 if reco is not None:
                     push(dict(reco, nside=np.full(
                         len(reco["src_cell"]), ns, dtype=np.int64)))
+        if _dbg:
+            print(f"# post  {time.perf_counter()-t_post0:.4f}s "
+                  f"act={len(act)} hi={int(hi_mask.sum())} "
+                  f"lo={int(lo_mask.sum())}", flush=True)
     return stats

@@ -111,7 +111,7 @@ class ScaspeConfig:
             if kp >= 0:
                 nside = 2**kp
                 nhp = 12 * nside * nside
-                th, ph = hp.pix2ang_nest(nside, np.arange(nhp))
+                th, ph = hp.np_pix2ang_nest(nside, np.arange(nhp))
                 th = np.asarray(th)
                 ph = np.asarray(ph)
             else:
@@ -217,7 +217,7 @@ class ScaspeConfig:
         out = np.zeros((len(cells), self.L))
         for b, s in zip(self.buckets, scaspe):
             if b.kp >= 0:
-                pix = np.asarray(hp.ang2pix_nest(b.nside, theta, phi))
+                pix = hp.np_ang2pix_nest(b.nside, theta, phi)
             else:
                 pix = np.zeros(len(cells), dtype=np.int64)
             out[:, b.lam_idx] = np.asarray(s)[cells, pix, :] * b.npix_hp

@@ -39,18 +39,30 @@ def main():
     sl = wl.stellar_slice
     phys = P.make_physics(grid, dustm, sl)
     L = phys.kext_norm.shape[0]
+    Lp = int(os.environ.get("PROF_L", L))
+    if Lp != L:  # truncate or tile the wavelength axis for scaling tests
+        reps = (Lp + L - 1) // L
+        idx = np.tile(np.arange(L), reps)[:Lp]
+        phys.kext_norm = np.asarray(phys.kext_norm)[idx]
+        phys.albedo = np.asarray(phys.albedo)[idx]
+        phys.gsca = np.asarray(phys.gsca)[idx]
+        L = Lp
+    NR = int(os.environ.get("PROF_NR", 65536))
     src = E.point_source_set(grid, trustI.STAR_POS[None, :], np.ones((1, L)))
     fdtype = jnp.float32
 
-    # realistic batch: 65536 rays from the point source at nside 128
+    # realistic batch: NR rays from the point source at nside 128
     nside = 128
     pix = np.arange(12 * nside * nside)
     rng = np.random.default_rng(0)
-    pix = rng.choice(pix, size=65536, replace=False)
+    pix = rng.choice(pix, size=NR, replace=False)
     launch = R.fresh_launch(src.pos, src.cell, np.array([0]),
                             np.ones((1, L)), nside=nside, pix_subset=pix)
-    batch = R._to_batch(launch, L, pad_to=65536, fdtype=fdtype)
+    batch, _, _ = R._to_batch(launch, L, pad_to=NR, fdtype=fdtype)
 
+    from dartray_tpu.grid.octree import build_nav_table
+    nav = (None if os.environ.get("PROF_NONAV") else
+           jnp.asarray(build_nav_table(grid), dtype=jnp.int32))
     dens_ref = jnp.asarray(grid.dens_ref, dtype=fdtype)
     kext_norm = jnp.asarray(phys.kext_norm, dtype=fdtype)
     albedo = jnp.asarray(phys.albedo, dtype=fdtype)
@@ -63,7 +75,7 @@ def main():
             grid, dens_ref, kext_norm, albedo, u0, u0, batch,
             mode=M.MODE_DIRECT, point_source=True, beam_i=beam_i,
             en_lim=1e-9, rad_lim_dist=1e9, bm_par=10.0, bm_par_max=200.0,
-            allow_block=can_merge, cs=phys.cs, max_steps=ms,
+            allow_block=can_merge, cs=phys.cs, max_steps=ms, nav=nav,
         )
         jax.block_until_ready(u)
         return res
@@ -77,8 +89,10 @@ def main():
             res = run(ms)
         dt = (time.perf_counter() - t) / 3
         steps = int(np.asarray(res.n_steps))
-        print(f"max_steps={ms:3d}: {dt*1e3:8.2f} ms ({dt/ms*1e3:6.3f} ms/iter, "
-              f"steps={steps}, compile {tcomp:.0f}s)", flush=True)
+        abl = os.environ.get("DARTRAY_ABLATE", "-")
+        print(f"ablate={abl:32s} max_steps={ms:3d}: {dt*1e3:8.2f} ms "
+              f"({dt/ms*1e3:6.3f} ms/iter, steps={steps}, compile {tcomp:.0f}s)",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -58,7 +58,7 @@ def test_replay_field_matches_march(slab_setup):
     L = 2
     launch = R.fresh_launch(src.pos[:2], src.cell[:2], np.arange(2), src.lum[:2])
     n = len(launch["src_cell"])
-    batch = R._to_batch(launch, L, pad_to=R._bucket(n))
+    batch, _, _ = R._to_batch(launch, L, pad_to=R._bucket(n))
     u0 = jnp.zeros((grid.n_cells, L))
     beam_i = 4 * np.pi / 192
     u, res = M.march(
@@ -131,7 +131,7 @@ def test_field_gradient_vs_finite_difference(slab_setup):
     grid, phys, src = slab_setup
     L = 2
     launch = R.fresh_launch(src.pos[:1], src.cell[:1], np.arange(1), src.lum[:1])
-    batch = R._to_batch(launch, L, pad_to=R._bucket(len(launch["src_cell"])))
+    batch, _, _ = R._to_batch(launch, L, pad_to=R._bucket(len(launch["src_cell"])))
     beam_i = 4 * np.pi / 192
     kw = dict(
         mode=M.MODE_PRECALC, point_source=False, beam_i=jnp.asarray(beam_i),

@@ -169,3 +169,46 @@ def test_iobs_attenuation():
     expect = I0 * own * np.exp(-k * path)
     got = i_obs[icell, 0, 0]
     np.testing.assert_allclose(got, expect, rtol=1e-8)
+
+
+def test_nav_table_matches_descend():
+    """The face-neighbour navigation (octree.build_nav_table) must traverse
+    the same cells as the per-level descend walk on an adaptive grid."""
+    from dartray_tpu.grid.octree import build_nav_table
+
+    def dens_fn(centers, csize):
+        d = np.where(centers[:, 2] < 0, 0.5, 0.01)
+        return d, np.zeros(len(centers))
+
+    def subdiv(centers, csize, level, dens, dens_stars):
+        return (np.abs(centers[:, 2]) < 1.0) & (level < 3)
+
+    from dartray_tpu.grid import build_grid
+    grid = build_grid(dens_fn, subdiv, base=(6, 2), max_lvl=3, min_lvl=1,
+                      modelsize=10.0, max_ncell=200_000)
+    phys = make_physics(grid)
+    src = E.point_source_set(grid, np.array([[0.3, 0.2, 2.1]]), np.array([[1.0]]))
+    nav = jnp.asarray(build_nav_table(grid))
+
+    import dartray_tpu.rt.rays as R
+    launch = R.fresh_launch(src.pos, src.cell, np.array([0]), src.lum, nside=8)
+    batch, _, _ = R._to_batch(launch, 1, fdtype=jnp.float64)
+    dens_ref = jnp.asarray(grid.dens_ref)
+    kn = jnp.ones(1)
+    al = jnp.zeros(1)
+    z = jnp.zeros((grid.n_cells, 1))
+
+    kw = dict(mode=M.MODE_PRECALC, point_source=True, rad_lim_dist=1e9,
+              bm_par=1e9, bm_par_max=1e18, allow_block=False, cs=1.0,
+              trace_steps=256)
+    _, r_nav = M.march(grid, dens_ref, kn, al, z, z, batch, nav=nav, **kw)
+    _, r_ref = M.march(grid, dens_ref, kn, al, z, z, batch, **kw)
+
+    assert np.array_equal(np.asarray(r_nav.trace_count),
+                          np.asarray(r_ref.trace_count))
+    assert np.array_equal(np.asarray(r_nav.trace_cells),
+                          np.asarray(r_ref.trace_cells))
+    np.testing.assert_allclose(np.asarray(r_nav.trace_lengths),
+                               np.asarray(r_ref.trace_lengths), rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(r_nav.status),
+                                  np.asarray(r_ref.status))
