@@ -117,12 +117,13 @@ def cmd_run(model: str, input_file: str):
         return cmd_projection(cfg, grid, wl, dustm, dens_stars, p_src_pos, p_src_lum,
                               dir_out, pos_obs, files)
 
+    two_d = algo in ("2D", "dust_2D")
     print(f"# running {algo} RT: {grid.n_cells} cells, "
           f"L_stars={wl.lnum_stars}, L_dust={wl.lnum_dust}")
     res = P.run_main(
         grid, cfg, wl, dustm,
         dens_stars_arr=dens_stars, p_src_pos=p_src_pos, p_src_lum=p_src_lum,
-        dir_out=dir_out, pos_obs=pos_obs,
+        dir_out=dir_out, pos_obs=pos_obs, two_d=two_d,
     )
     print(f"# stellar RT done in {time.time()-t0:.1f}s, "
           f"{res.iterations} scattering iterations, converged={res.converged}")
@@ -161,7 +162,8 @@ def cmd_run(model: str, input_file: str):
             cal = D.add_planck_avg_qabs(
                 cal, dustm, wl.lambda_si, wl.delta_lambda_bin)
         dres = P.run_dust_rt(grid, cfg, wl, dustm, res.u_final,
-                             dir_out=dir_out, pos_obs=pos_obs, cal=cal)
+                             dir_out=dir_out, pos_obs=pos_obs, cal=cal,
+                             two_d=two_d)
         print(f"# dust RT done in {time.time()-t1:.1f}s, "
               f"{dres.iterations} heating iterations, converged={dres.converged}")
         dfiles = OUT.OutputFiles(

@@ -77,22 +77,55 @@ def run_direct_light(
     lambda_range: str = "stars",
     bm_par: float = None,
     u_init=None,
+    two_d: bool = False,
+    sym=None,  # rt.symmetry.SymmetryMaps (built here when two_d and absent)
 ) -> DirectLightResult:
     """Direct light on the stellar or dust wavelength range:
-    precalc -> direct -> i_obs -> SED/maps."""
+    precalc -> direct -> i_obs -> SED/maps.
+
+    With two_d=True, cell sources are processed with the 2D octant-symmetry
+    algorithm (rt_loop_2D + fix_symmetry, rt_routines.f90:1061-1140):
+    strictly-positive-octant sources march, the fields are symmetrized,
+    then on-axis sources march normally; the point source (at the origin,
+    check_2d_src) always marches normally.
+    """
     sl, L = _lambda_slice(wl, lambda_range)
     if bm_par is None:
         bm_par = cfg.bm_par
     phys = make_physics(grid, dust, sl)
     stats: dict = {}
 
+    if two_d:
+        from .rt import symmetry as SYM
+
+        SYM.check_2d_src(p_src_pos)
+        if sym is None:
+            sym = SYM.build_symmetry(grid)
+
+    # each entry: (SourceSet, symmetrize_after: bool)
     sources = []
-    if dens_stars_arr is not None and np.asarray(dens_stars_arr).sum() > 0:
-        sources.append(E.cell_sources(grid, dens_stars_arr))
     psrc = None
+    if dens_stars_arr is not None and np.asarray(dens_stars_arr).sum() > 0:
+        cells = E.cell_sources(grid, dens_stars_arr)
+        if two_d:
+            in_oct = np.isin(cells.cell, sym.src_octant)
+            in_axis = np.isin(cells.cell, sym.src_axis)
+
+            def _sub(mask):
+                return E.SourceSet(
+                    pos=cells.pos[mask], cell=cells.cell[mask],
+                    sid=cells.sid[mask], lum=cells.lum[mask], point=False,
+                )
+
+            if in_oct.any():
+                sources.append((_sub(in_oct), True))
+            if in_axis.any():
+                sources.append((_sub(in_axis), False))
+        else:
+            sources.append((cells, False))
     if p_src_pos is not None and len(p_src_pos) > 0:
         psrc = E.point_source_set(grid, p_src_pos, p_src_lum)
-        sources.append(psrc)
+        sources.append((psrc, False))
     if not sources:
         raise ValueError("no radiation sources")
 
@@ -104,25 +137,38 @@ def run_direct_light(
 
     # ---- precalc: lower bound U_LL (rtt_precalc_*) ----
     u_fest = jnp.zeros((grid.n_cells, L), dtype=fdtype)
-    for s in sources:
+    for s, symmetrize in sources:
+        u_base = u_fest if symmetrize else None
         r = E.run_field_stage(
             grid, phys, s, mode=M.MODE_PRECALC, u_init=u_fest,
             rad_lim=cfg.rad_lim, bm_par=bm_par, bm_par_max=cfg.bm_par_max,
             chunk=chunk,
         )
         u_fest = r.u
+        if symmetrize:
+            from .rt import symmetry as SYM
+
+            u_fest = jnp.asarray(
+                SYM.fix_symmetry_u(u_fest, sym, base=np.asarray(u_base)),
+                dtype=fdtype,
+            )
         for k, v in r.stats.items():
             stats["precalc_" + k] = stats.get("precalc_" + k, 0) + v
 
     # ---- direct light (rtt_dir_*) ----
     scaspe = None
+    perms = None
     if collect_scaspe:
         from .rt import scattering as SC
 
         scaspe_cfg = scaspe_cfg or SC.ScaspeConfig.from_run_config(
-            cfg, dust, wl, dir_out, lambda_range
+            cfg, dust, wl, None if two_d else dir_out, lambda_range
         )
         scaspe = scaspe_cfg.zeros(grid.n_cells, fdtype)
+        if two_d:
+            from .rt import symmetry as SYM
+
+            perms = SYM.scaspe_perms(scaspe_cfg)
 
     u_final = (
         jnp.zeros((grid.n_cells, L), dtype=fdtype)
@@ -130,7 +176,9 @@ def run_direct_light(
         else jnp.asarray(u_init, dtype=fdtype)
     )
     lum_lost = np.zeros(L)
-    for s in sources:
+    for s, symmetrize in sources:
+        u_base = u_final if symmetrize else None
+        scaspe_base = scaspe if (symmetrize and collect_scaspe) else None
         r = E.run_field_stage(
             grid, phys, s, mode=M.MODE_DIRECT, u_fest=u_fest, u_init=u_final,
             en_lim=en_lim, bm_par=bm_par, bm_par_max=cfg.bm_par_max,
@@ -141,7 +189,29 @@ def run_direct_light(
         u_final = r.u
         if collect_scaspe:
             scaspe = r.scaspe
-        lum_lost += r.lum_lost
+        if symmetrize:
+            from .rt import scattering as SC
+            from .rt import symmetry as SYM
+
+            u_final = jnp.asarray(
+                SYM.fix_symmetry_u(u_final, sym, base=np.asarray(u_base)),
+                dtype=fdtype,
+            )
+            if collect_scaspe:
+                delta = tuple(
+                    np.asarray(a) - np.asarray(b)
+                    for a, b in zip(scaspe, scaspe_base)
+                )
+                fixed = SYM.fix_symmetry_scaspe(delta, scaspe_cfg, perms, sym)
+                scaspe = tuple(
+                    jnp.asarray(np.asarray(b) + f, dtype=fdtype)
+                    for b, f in zip(scaspe_base, fixed)
+                )
+            # pass-A losses stand in for the 7 mirrored source octants too
+            # (fix_symmetry lum_lost scaling, rt_routines.f90:3626)
+            lum_lost += 8.0 * r.lum_lost
+        else:
+            lum_lost += r.lum_lost
         for k, v in r.stats.items():
             stats["direct_" + k] = stats.get("direct_" + k, 0) + v
 
@@ -157,7 +227,7 @@ def run_direct_light(
         i_obs_in = (
             np.zeros((n_sid, len(pos_obs), L)) if pos_obs is not None else None
         )
-        for s in sources:
+        for s, _sym in sources:
             i_obs, i_obs_in = E.run_iobs_stage(
                 grid, phys, s, dir_out=dir_out, pos_obs=pos_obs,
                 i_obs=i_obs, i_obs_in=i_obs_in, n_sid=n_sid,
@@ -244,17 +314,30 @@ def run_main(
     lambda_range: str = "stars",
     bm_par: float = None,
     u_init=None,
+    two_d: bool = False,
 ) -> MainRTResult:
     """The full RT on one wavelength range: direct light + scattering
     iterations + total observer products (the 'main' rt_algorithm of
-    dartray_main, dartray_hub.f90:12-67)."""
+    dartray_main, dartray_hub.f90:12-67; two_d=True follows
+    dartray_main_2D, dartray_hub.f90:70-120)."""
     from .rt import scattering as SC
 
     sl, L = _lambda_slice(wl, lambda_range)
     if bm_par is None:
         bm_par = cfg.bm_par
     phys = make_physics(grid, dust, sl)
-    scfg = SC.ScaspeConfig.make(cfg.kp_sca_max, np.asarray(dust.gsca)[sl], dir_out)
+    sym = None
+    if two_d:
+        from .rt import symmetry as SYM
+
+        SYM.check_2d_src(p_src_pos)
+        sym = SYM.build_symmetry(grid)
+    # 2D mode stores no appended observer directions in scaspe
+    # (dartray_main_2D disables the per-stage iobs loops; observer values
+    # come from the HEALPix pixels, dartray_hub.f90:88-110)
+    scfg = SC.ScaspeConfig.make(
+        cfg.kp_sca_max, np.asarray(dust.gsca)[sl], None if two_d else dir_out
+    )
 
     direct = run_direct_light(
         grid, cfg, wl, dust,
@@ -262,6 +345,7 @@ def run_main(
         dir_out=dir_out, pos_obs=pos_obs, make_maps=False,
         chunk=chunk, collect_scaspe=not cfg.only_direct_rt, scaspe_cfg=scfg,
         lambda_range=lambda_range, bm_par=bm_par, u_init=u_init,
+        two_d=two_d, sym=sym,
     )
 
     n_point = len(p_src_pos) if p_src_pos is not None else 0
@@ -290,6 +374,7 @@ def run_main(
                 cfg.max_sca_iterations if cfg.limit_scattering_iterations else 1000
             ),
             wall_lo=wall_lo, wall_hi=wall_hi, chunk=chunk,
+            sym=sym,
         )
         u_tot = np.asarray(sres.u_final)
         scaspe_tot = SC.ScaspeConfig.asarray(sres.scaspe_tot)
@@ -318,7 +403,10 @@ def run_main(
             i_obs_tot, i_obs_in_tot = E.run_iobs_stage(
                 grid, phys, sca_sources, dir_out=dir_out, pos_obs=pos_obs,
                 i_obs=i_obs_tot, i_obs_in=i_obs_in_tot, n_sid=n_sid,
-                src_lum_dir_fn=dir_fn, src_lum_fn=ang_fn,
+                # no appended observer columns in 2D scaspe: read the
+                # HEALPix pixel containing each direction instead
+                src_lum_dir_fn=None if two_d else dir_fn,
+                src_lum_fn=ang_fn,
             )
 
     if lambda_range == "dust":
@@ -393,6 +481,7 @@ def run_dust_rt(
     chunk: int = 32,
     max_dust_iterations: int = 30,
     cal=None,  # dust.Calorimetry, required for 'sto'/'sto_lib'
+    two_d: bool = False,  # 'dust_2D' algorithm: octant-symmetric dust RT
 ) -> DustRTResult:
     """Dust emission with self-heating iterations (dartray_dust,
     dartray_hub.f90:210-253): compute the dust emissivity from the absorbed
@@ -481,7 +570,7 @@ def run_dust_rt(
             dens_stars_arr=delta,
             dir_out=dir_out, pos_obs=pos_obs, chunk=chunk,
             lambda_range="dust", bm_par=cfg.bm_par_sca,
-            u_init=u_dust,
+            u_init=u_dust, two_d=two_d,
         )
         u_dust = np.asarray(res.u_final)
         if i_obs_tot is not None:

@@ -260,6 +260,7 @@ def run_scattering(
     wall_hi=(np.inf,) * 3,
     chunk: int = 32,
     fdtype=None,
+    sym=None,  # rt.symmetry.SymmetryMaps: 2D octant-symmetry mode
 ) -> ScatteringResult:
     """Scattered-light iterations (the rtt_scatt loop, dartray_hub.f90:45-52).
 
@@ -268,12 +269,22 @@ def run_scattering(
     and to a fresh scaspe accumulator (the next iteration's source).
     Convergence when the remaining pool is < conv_en_lim of the total
     (calc_total_luminosity_sca, rt_routines.f90:663-775).
+
+    With `sym` set (2D mode), each iteration runs the strictly-positive
+    octant sources first, symmetrizes the new field delta and the new
+    scaspe (fix_symmetry_part3, rt_routines.f90:3802-4080), then runs the
+    on-axis sources normally.
     """
     if fdtype is None:
         fdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     L = np.asarray(phys.kext_norm).shape[0]
     stats: dict = {}
     lum_lost = np.zeros(L)
+    perms = None
+    if sym is not None:
+        from . import symmetry as SYM
+
+        perms = SYM.scaspe_perms(scfg)
 
     scaspe_prev = tuple(jnp.asarray(s, dtype=fdtype) for s in scaspe_direct)
     scaspe_tot = scaspe_prev
@@ -300,13 +311,13 @@ def run_scattering(
             break
 
         sel = np.flatnonzero(lumcell.sum(axis=1) > 0)
-        sources = E.SourceSet(
-            pos=np.asarray(grid.ccoord)[sel],
-            cell=sel,
-            sid=sel,
-            lum=lumcell[sel],  # placeholder; per-ray value from scaspe_prev
-            point=False,
-        )
+        if sym is not None:
+            passes = [
+                (np.intersect1d(sel, sym.src_octant), True),
+                (np.intersect1d(sel, sym.src_axis), False),
+            ]
+        else:
+            passes = [(sel, False)]
 
         # one host copy per iteration: assign_src_lum reads it per launch
         # packet (copying the device scaspe per packet would dominate)
@@ -317,26 +328,58 @@ def run_scattering(
                 scaspe_prev_np, d["src_cell"], d["theta"], d["phi"]
             )
 
-        r = E.run_field_stage(
-            grid, phys, sources,
-            mode=M.MODE_DIRECT,
-            u_fest=u,  # rt_prepare@scatt: u_fest <- u_final (hub:403-417)
-            u_init=u,
-            en_lim=en_lim,
-            bm_par=bm_par_sca,
-            bm_par_max=bm_par_max,
-            wall_lo=wall_lo,
-            wall_hi=wall_hi,
-            chunk=chunk,
-            scaspe_cfg=scfg,
-            scaspe_init=scfg.zeros(grid.n_cells, fdtype),
-            src_lum_fn=src_lum_fn,
-        )
-        u = r.u
-        scaspe_new = r.scaspe
-        lum_lost += r.lum_lost
-        for k, v in r.stats.items():
-            stats[f"scatt_{k}"] = stats.get(f"scatt_{k}", 0) + v
+        scaspe_new = scfg.zeros(grid.n_cells, fdtype)
+        u_fest_iter = u  # rt_prepare@scatt: u_fest <- u_final (hub:403-417)
+        for sel_p, symmetrize in passes:
+            if len(sel_p) == 0:
+                continue
+            sources = E.SourceSet(
+                pos=np.asarray(grid.ccoord)[sel_p],
+                cell=sel_p,
+                sid=sel_p,
+                lum=lumcell[sel_p],  # placeholder; per-ray from scaspe_prev
+                point=False,
+            )
+            u_base = u if symmetrize else None
+            scaspe_base = scaspe_new if symmetrize else None
+            r = E.run_field_stage(
+                grid, phys, sources,
+                mode=M.MODE_DIRECT,
+                u_fest=u_fest_iter,
+                u_init=u,
+                en_lim=en_lim,
+                bm_par=bm_par_sca,
+                bm_par_max=bm_par_max,
+                wall_lo=wall_lo,
+                wall_hi=wall_hi,
+                chunk=chunk,
+                scaspe_cfg=scfg,
+                scaspe_init=scaspe_new,
+                src_lum_fn=src_lum_fn,
+            )
+            u = r.u
+            scaspe_new = r.scaspe
+            if symmetrize:
+                from . import symmetry as SYM
+
+                u = jnp.asarray(
+                    SYM.fix_symmetry_u(u, sym, base=np.asarray(u_base)),
+                    dtype=fdtype,
+                )
+                delta = tuple(
+                    np.asarray(a) - np.asarray(b)
+                    for a, b in zip(scaspe_new, scaspe_base)
+                )
+                fixed = SYM.fix_symmetry_scaspe(delta, scfg, perms, sym)
+                scaspe_new = tuple(
+                    jnp.asarray(np.asarray(b) + f, dtype=fdtype)
+                    for b, f in zip(scaspe_base, fixed)
+                )
+                lum_lost += 8.0 * r.lum_lost
+            else:
+                lum_lost += r.lum_lost
+            for k, v in r.stats.items():
+                stats[f"scatt_{k}"] = stats.get(f"scatt_{k}", 0) + v
 
         scaspe_tot = ScaspeConfig.add(scaspe_tot, scaspe_new)
         scaspe_prev = scaspe_new
