@@ -63,3 +63,67 @@ def read_grid(path: str) -> Grid:
         max_lvl=max_lvl,
         modelsize=modelsize,
     )
+
+
+# ---------------------------------------------------------------------------
+# lambda grids: optional per-wavelength dens/dens_stars files
+# (read_lambda_grid io_routines.f90:397-498; names grid_<label>_l<λ>um.h5,
+# io_routines.f90:2323-2330; datasets 'dens' and 'dens_stars')
+# ---------------------------------------------------------------------------
+
+
+def lambda_grid_name(label: str, lambda_um: float) -> str:
+    """grid_<label>_l<lam>um.h5 with the F9.3 wavelength label of
+    make_label_wave (io_routines.f90:2301)."""
+    return f"grid_{label}_l{lambda_um:.3f}um.h5"
+
+
+def write_lambda_grid(path: str, dens, dens_stars) -> None:
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        f.create_dataset("dens", data=np.asarray(dens, dtype=np.float64))
+        f.create_dataset(
+            "dens_stars", data=np.asarray(dens_stars, dtype=np.float64)
+        )
+
+
+def read_lambda_grids(dir_grid: str, label: str, lambda_um, n_cells: int,
+                      lambda_ref: float):
+    """Load all per-wavelength grids (read_lambda_grid,
+    io_routines.f90:397-498).
+
+    Returns (dens_arr (N, L), dens_stars_arr (N, L), dens_ref (N,)); raises
+    if a file is missing, a dens_stars value is negative, or the reference
+    wavelength is not among the lambda grids (io:473-496)."""
+    import os
+    import h5py
+
+    lambda_um = np.asarray(lambda_um)
+    L = len(lambda_um)
+    dens_arr = np.empty((n_cells, L))
+    dens_stars_arr = np.empty((n_cells, L))
+    dens_ref = None
+    for il, lam in enumerate(lambda_um):
+        path = os.path.join(dir_grid, lambda_grid_name(label, float(lam)))
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"lambda grid file not found: {path}")
+        with h5py.File(path, "r") as f:
+            d = f["dens"][...]
+            ds = f["dens_stars"][...]
+        if len(d) != n_cells or len(ds) != n_cells:
+            raise ValueError(
+                f"lambda grid {path}: {len(d)} cells, main grid has {n_cells}"
+            )
+        if np.any(ds < 0):
+            raise ValueError(f"negative value in dens_stars ({path})")
+        dens_arr[:, il] = d
+        dens_stars_arr[:, il] = ds
+        if abs(lambda_ref - lam) / lambda_ref < 1e-4:
+            dens_ref = d
+    if dens_ref is None:
+        raise ValueError(
+            "reference grid not found among the lambda grids "
+            f"(lambda_ref = {lambda_ref})"
+        )
+    return dens_arr, dens_stars_arr, dens_ref

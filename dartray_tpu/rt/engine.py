@@ -58,6 +58,8 @@ class Physics:
     gsca: jax.Array  # (L,)
     cs: float  # light speed in grid units [pc/s]
     lambda_um: np.ndarray  # (L,)
+    dens_lambda: Optional[jax.Array] = None  # (ncell, L) per-lambda extinction
+    #   from lambda-grid files; overrides dens_ref*kext_norm in the march
 
 
 @dataclasses.dataclass
@@ -214,6 +216,10 @@ def run_field_stage(
         wall_hi=wall_hi,
         max_steps=step_chunk,
         nav=grid_nav(grid),
+        dens_lambda=(
+            jnp.asarray(phys.dens_lambda, dtype=fdtype)
+            if getattr(phys, "dens_lambda", None) is not None else None
+        ),
     )
     if scaspe_cfg is not None:
         kw.update(
@@ -311,6 +317,10 @@ def trace_iobs_rays(
         jnp.asarray(phys.albedo, dtype=fdtype), zero_u, zero_u, batch,
         mode=M.MODE_IOBS, point_source=sources.point, trace_steps=trace_steps,
         nav=grid_nav(grid),
+        dens_lambda=(
+            jnp.asarray(phys.dens_lambda, dtype=fdtype)
+            if getattr(phys, "dens_lambda", None) is not None else None
+        ),
     )
     traces = dict(
         cells=np.asarray(res.trace_cells)[:ns],
@@ -368,6 +378,10 @@ def run_iobs_stage(
             grid, dens_ref, kext_norm, albedo, zero_u, zero_u, batch,
             mode=mode, point_source=sources.point, vec_mod=vm,
             nav=grid_nav(grid),
+            dens_lambda=(
+                jnp.asarray(phys.dens_lambda, dtype=fdtype)
+                if getattr(phys, "dens_lambda", None) is not None else None
+            ),
         )
         return np.asarray(res.i_obs)[:n]
 

@@ -179,6 +179,9 @@ def march(
     scaspe_lam_idx=None,  # tuple of (L_k,) int32 wavelength indices per bucket
     scaspe_accum=None,  # tuple of (ncell, P_k, L_k) accumulators
     nav=None,  # (ncell*6, NAV_W) int32 face-neighbour table (octree.build_nav_table)
+    dens_lambda=None,  # (ncell, L): per-wavelength extinction coefficient
+    #                    from lambda-grid files (read_lambda_grid,
+    #                    io_routines.f90:397-498); overrides dens_ref*kext_norm
 ):
     """Advance every ray to completion (exit / kill / block).
 
@@ -211,7 +214,11 @@ def march(
     pack_ufest = mode == MODE_DIRECT
     if pack_ufest:
         fdat_cols.append(u_fest.astype(fdtype))
-    fdat = jnp.concatenate(fdat_cols, axis=1)  # (ncell, 4[+L])
+    ufest_off = 4
+    dlam_off = ufest_off + (L if pack_ufest else 0)
+    if dens_lambda is not None:
+        fdat_cols.append(dens_lambda.astype(fdtype))
+    fdat = jnp.concatenate(fdat_cols, axis=1)  # (ncell, 4[+L][+L])
 
     st_ = jnp.sin(rays.theta)
     dx = (st_ * jnp.cos(rays.phi)).astype(fdtype)
@@ -390,7 +397,14 @@ def march(
 
         # ---- deposit physics (rt_routines.f90:2362-2557) ----
         dref = crow[:, 3]  # (NR,)
-        tau = dref[:, None] * kext_norm[None, :] * length[:, None]  # (NR,L)
+        # per-wavelength extinction coefficient: lambda-grid rows when
+        # provided (scale_dens_arr is then bypassed, rt_routines.f90:5018),
+        # else the reference-wavelength density times kext(l)/kext_ref
+        if dens_lambda is not None:
+            kx = crow[:, dlam_off : dlam_off + L]
+        else:
+            kx = dref[:, None] * kext_norm[None, :]
+        tau = kx * length[:, None]  # (NR,L)
         exp_tau = jnp.exp(-tau)
         I = s["intensity"]
 
@@ -406,7 +420,7 @@ def march(
         if ps_own:
             tau_own = tau
         else:
-            tau_own = dref[:, None] * kext_norm[None, :] * csize_i[:, None]
+            tau_own = kx * csize_i[:, None]
         exp_own = jnp.exp(-tau_own)
         sm_own = tau_own < 1e-8
         tau_own_safe = jnp.where(sm_own, 1.0, tau_own)
@@ -439,7 +453,7 @@ def march(
             # ray-precision criterion: kill lambdas whose future
             # contribution is below f_U * U_LL (rt_routines.f90:2473-2491)
             u_beam = i_av * (csize_c / cs / vol_f * area_i * beam_f)[:, None]
-            ull = crow[:, 4:]
+            ull = crow[:, ufest_off : ufest_off + L]
             kill = u_beam < en_lim * ull
             kill_mask = (has_len & too_sparse)[:, None] & kill
             wall_hit = (
@@ -520,7 +534,7 @@ def march(
         # internal-observer stop (rt_routines.f90:1762-1770)
         if mode == MODE_IOBS_IN:
             hit_obs = act & (vec_mod >= s["prev"]) & (vec_mod <= psel)
-            corr = jnp.exp(dref[:, None] * kext_norm[None, :] * (psel - vec_mod)[:, None])
+            corr = jnp.exp(kx * (psel - vec_mod)[:, None])
             i_obs = jnp.where(hit_obs[:, None], I_next * corr, s["i_obs"])
         else:
             hit_obs = jnp.zeros((NR,), dtype=bool)
