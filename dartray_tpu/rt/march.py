@@ -149,7 +149,7 @@ def _level_select(clvl, table_np, dtype=None):
         "scaspe_npix_hp",
     ),
 )
-def march(
+def march_legacy(
     grid: Grid,
     dens_ref,  # (ncell,) extinction coeff at lambda_ref [1/length]
     kext_norm,  # (L,) kext(lambda)/kext_ref
@@ -718,6 +718,37 @@ def march(
     if collect_en_sca:
         return out["u"], res, out["scaspe"]
     return out["u"], res
+
+
+def march(grid, dens_ref, kext_norm, albedo, u_fest, u_accum, rays, **kw):
+    """Advance every ray to completion (exit / kill / block).
+
+    Dispatches to the fast two-phase kernel (march_fast: scalar geometry
+    loop + closed-form flat deposits) whenever possible; the legacy
+    lock-step kernel remains for the per-wavelength lambda-grid density
+    path (read_lambda_grid, io_routines.f90:397-498) and as the reference
+    implementation for equivalence tests (DARTRAY_LEGACY_MARCH=1).
+    """
+    use_legacy = (
+        kw.get("dens_lambda") is not None
+        or os.environ.get("DARTRAY_LEGACY_MARCH")
+        # the fast path materializes (max_steps, NR) trace buffers in the
+        # deposit modes; unchunked calls stay on the lock-step kernel
+        or (kw.get("mode", 0) <= MODE_DIRECT
+            and int(kw.get("max_steps", 100000)) > 4096)
+    )
+    if use_legacy:
+        return march_legacy(
+            grid, dens_ref, kext_norm, albedo, u_fest, u_accum, rays, **kw
+        )
+    from .march_fast import march_fast
+
+    kw.pop("dens_lambda", None)
+    if "max_steps" in kw:
+        kw["max_steps"] = int(kw["max_steps"])
+    return march_fast(
+        grid, dens_ref, kext_norm, albedo, u_fest, u_accum, rays, **kw
+    )
 
 
 def _descend(grid: Grid, fx, fy, fz):
