@@ -58,6 +58,9 @@ def _prepare_common(cfg, raw):
     return wl, dustm
 
 
+MODELS = ("trustI", "magtar", "galaxy", "Nbody_SPH", "2dto3d")
+
+
 def _model_sources(model, cfg, raw, grid, wl):
     """Per-model source setup (the set_<model> routines)."""
     p_src_pos = p_src_lum = None
@@ -84,13 +87,17 @@ def _model_sources(model, cfg, raw, grid, wl):
                 os.path.join(cfg.dir_grid, cfg.file_param_src)
             )
             p_src_lum = magtar.source_luminosity(wl.lambda_um[sl], teff, lbol)
+    elif model in ("galaxy", "Nbody_SPH", "2dto3d"):
+        # all emission lives in the grid (cell emissivities; the reference
+        # drivers dartray_galaxy/dartray_Nbody_SPH define no point sources)
+        pass
     else:
-        raise SystemExit(f"unknown model {model!r} (available: trustI, magtar)")
+        raise SystemExit(f"unknown model {model!r} (available: {MODELS})")
     ds = np.asarray(grid.dens_stars_ref)
     if ds.sum() > 0:
-        # cell emissivities from the grid file, scaled like the reference's
-        # lambda grids would be; flat across lambda unless lambda grids are
-        # used (not yet supported in the CLI)
+        # cell emissivities from the grid file, scaled flat across lambda;
+        # per-lambda emissivities come from the lambda grids when
+        # use_lambda_grid is set (cmd_run)
         dens_stars = np.tile(ds[:, None], (1, wl.lnum_stars))
     return dens_stars, p_src_pos, p_src_lum
 
@@ -105,6 +112,21 @@ def cmd_run(model: str, input_file: str):
     grid = read_grid(os.path.join(cfg.dir_grid, cfg.grid_file))
     dir_out, pos_obs = _read_observers(cfg, raw)
     dens_stars, p_src_pos, p_src_lum = _model_sources(model, cfg, raw, grid, wl)
+
+    dens_lambda = None
+    if cfg.use_lambda_grid:
+        # per-wavelength dens/dens_stars from the lambda-grid files
+        # (read_lambda_grid, io_routines.f90:397-498)
+        from .grid.io import read_lambda_grids
+        import dataclasses as _dc
+
+        dens_arr, ds_arr, dens_ref = read_lambda_grids(
+            cfg.dir_grid, cfg.label_model_lambda_grid,
+            wl.lambda_um[wl.stellar_slice], grid.n_cells, cfg.lambda_ref,
+        )
+        grid = _dc.replace(grid, dens_ref=dens_ref)
+        dens_lambda = dens_arr
+        dens_stars = ds_arr if ds_arr.sum() > 0 else dens_stars
 
     os.makedirs(cfg.dir_runs, exist_ok=True)
     files = OUT.OutputFiles(
@@ -124,6 +146,7 @@ def cmd_run(model: str, input_file: str):
         grid, cfg, wl, dustm,
         dens_stars_arr=dens_stars, p_src_pos=p_src_pos, p_src_lum=p_src_lum,
         dir_out=dir_out, pos_obs=pos_obs, two_d=two_d,
+        dens_lambda=dens_lambda,
     )
     print(f"# stellar RT done in {time.time()-t0:.1f}s, "
           f"{res.iterations} scattering iterations, converged={res.converged}")
@@ -230,9 +253,48 @@ def cmd_projection(cfg, grid, wl, dustm, dens_stars, p_src_pos, p_src_lum,
     return 0
 
 
+def _stellar_library_path(raw):
+    """Resolve the SSP library HDF5 (read_stellar_library,
+    io_routines.f90:4165): 'user' takes file_stellar_library verbatim,
+    named libraries resolve under STELLAR_LIBRARIES/."""
+    name = raw.get("stellar_library", "")
+    if name == "user" or not name:
+        return raw["file_stellar_library"]
+    fname = f"table_lum_mass_vs_age_met_{name}.h5"
+    for root in ("./data/STELLAR_LIBRARIES", "./STELLAR_LIBRARIES"):
+        for sub in (name.split("_")[0], name, "maraston2005"):
+            cand = os.path.join(root, sub, fname)
+            if os.path.exists(cand):
+                return cand
+    raise SystemExit(
+        f"stellar library {name!r} not found under ./data/STELLAR_LIBRARIES "
+        "(available: maraston2005_kr_rhb, or stellar_library='user' with "
+        "file_stellar_library=<path>)"
+    )
+
+
+def _lambda_grid_range(raw, lambda_um):
+    """Wavelength indices [i0, i1] of the lambda-grid loop
+    (create_adap_grid_galaxy.f90:107-108)."""
+    lam = np.asarray(lambda_um)
+    i0 = int(np.argmin(np.abs(lam - float(raw.get("lambda_min", lam[0]))) / lam))
+    i1 = int(np.argmin(np.abs(lam - float(raw.get("lambda_max", lam[-1]))) / lam))
+    return i0, i1
+
+
+def _write_lambda_grids(dir_grid, label, lambda_um, i0, i1, dens_arr, ds_arr):
+    from .grid.io import lambda_grid_name, write_lambda_grid
+
+    for k, il in enumerate(range(i0, i1 + 1)):
+        path = os.path.join(dir_grid, lambda_grid_name(label, float(lambda_um[il])))
+        write_lambda_grid(path, dens_arr[:, k], ds_arr[:, k])
+    print(f"# {i1 - i0 + 1} lambda grids written to {dir_grid}")
+
+
 def cmd_create_grid(model: str, input_file: str):
     from .config import parse_namelist_file
     from .grid.io import write_grid
+    from .wavelength import read_lambda_list
 
     raw = parse_namelist_file(input_file)
     base = tuple(int(b) for b in raw.get("base", [10, 2]))
@@ -267,6 +329,109 @@ def cmd_create_grid(model: str, input_file: str):
             R_subd_lim=float(raw.get("R_subd_lim", 1e30)),
             **common,
         )
+    elif model == "galaxy":
+        from .models import galaxy as GX
+        from . import dust as D
+
+        dir_grid = raw.get("dir_grid", ".")
+        gmodel, tau1, tau2 = GX.model_from_namelist(raw, dir_grid)
+        lam = read_lambda_list(os.path.join(dir_grid, raw["file_lambda_list"]))
+        dustm = D.load_effective_dust_model(
+            raw["file_av_opacities"], lam,
+            lambda_ref=float(raw.get("lambda_ref", 0.443)),
+        )
+        lambda_ref = float(raw.get("lambda_ref", 0.443))
+        kext_B = np.interp(GX.B_BAND_UM, dustm.lambda_um, dustm.kext)
+        kref = np.interp(lambda_ref, dustm.lambda_um, dustm.kext)
+        gref = GX.set_dust_a0(gmodel, tau1, tau2, float(kref / kext_B))
+        dens_fn = GX.make_galaxy_dens_fn(gref, lambda_ref)
+        lnu_old, lnu_sf, lnu_b = gref.luminosities(np.asarray([lambda_ref]))
+        lnu_tot = float(lnu_old[0] + lnu_sf[0] + lnu_b[0])
+        sub_fn = GX.make_galaxy_subdivision_fn(
+            float(raw.get("max_dtau", 0.01)), float(raw.get("max_dlum", 1e-6)),
+            lnu_tot, float(raw.get("z_subd_lim", 0.0)),
+            float(raw.get("R_subd_lim", 0.0)), common["max_lvl"],
+        )
+        from .grid.builder import build_grid
+
+        grid = build_grid(dens_fn, sub_fn, **common)
+        # lambda grids (create_adap_grid_galaxy.f90:100-146)
+        i0, i1 = _lambda_grid_range(raw, lam)
+        lam_sel = np.asarray(lam)[i0:i1 + 1]
+        label = (raw.get("label_model_lambda_grid", "model") + "_"
+                 + raw.get("grid_type", "all"))
+        dens_arr = GX.galaxy_dens_arr(
+            grid, gmodel, tau1, tau2, dustm.lambda_um, dustm.kext, lam_sel
+        )
+        ds_arr = GX.galaxy_dens_stars_arr(grid, gmodel, lam_sel)
+        _write_lambda_grids(dir_grid, label, lam, i0, i1, dens_arr, ds_arr)
+    elif model in ("Nbody_SPH", "nbody_sph"):
+        from .models import nbody_sph as NB
+        from . import dust as D
+
+        dir_grid = raw.get("dir_grid", ".")
+        parts = NB.load_particles(os.path.join(dir_grid, raw["file_nbody_sph"]))
+        lib = NB.load_stellar_library(_stellar_library_path(raw))
+        lam = read_lambda_list(os.path.join(dir_grid, raw["file_lambda_list"]))
+        lambda_ref = float(raw.get("lambda_ref", 0.443))
+        dustm = D.load_effective_dust_model(
+            raw["file_av_opacities"], lam, lambda_ref=lambda_ref,
+        )
+        z_sun = float(raw.get("z_sun", 0.018))
+        lum_ref = NB.star_luminosities(lambda_ref, parts, lib, z_sun)
+        # pc^2/Msun of solar-metallicity gas (set_kext_gas, nbody.f90:100-111)
+        kg_ref = float(raw.get("kext_gas_ref", 0.0)) or NB.kext_gas(
+            float(dustm.kext_ref), dustm.tot_n_dust or 1.0
+        )
+        grid = NB.build_nbody_grid(
+            parts, lum_ref, kg_ref,
+            max_dtau=float(raw.get("max_dtau", 0.5)),
+            max_dlum=float(raw.get("max_dlum", 1e-5)),
+            **common,
+        )
+        i0, i1 = _lambda_grid_range(raw, lam)
+        lam_sel = np.asarray(lam)[i0:i1 + 1]
+        ds_arr = NB.nbody_dens_stars_arr(grid, parts, lib, lam_sel, z_sun)
+        kref = np.interp(lambda_ref, dustm.lambda_um, dustm.kext)
+        ratios = np.interp(lam_sel, dustm.lambda_um, dustm.kext) / kref
+        dens_arr = np.asarray(grid.dens_ref)[:, None] * ratios[None, :]
+        label = raw.get("label_model_lambda_grid", "model")
+        _write_lambda_grids(dir_grid, label, lam, i0, i1, dens_arr, ds_arr)
+    elif model == "2dto3d":
+        from .models import twod3d as TD
+
+        dir_grid = raw.get("dir_grid", ".")
+        dir_2d = raw.get("dir_grid_2d", dir_grid)
+        label_2d = raw["label_model_2d"]
+        lam = read_lambda_list(os.path.join(dir_grid, raw["file_lambda_list"]))
+        lambda_ref = float(raw.get("lambda_ref", lam[0]))
+        i0, i1 = _lambda_grid_range(raw, lam)
+
+        def tab_path(l):
+            return os.path.join(dir_2d, f"{label_2d}_l{l:.3f}um.dat")
+
+        g2_ref = TD.read_grid_2d(tab_path(float(lambda_ref)))
+        grid = TD.build_2dto3d_grid(
+            g2_ref,
+            max_dtau=float(raw.get("max_dtau", 0.01)),
+            max_dlum=float(raw.get("max_dlum", 1e-6)),
+            **common,
+        )
+        lam_sel = np.asarray(lam)[i0:i1 + 1]
+        centers = np.asarray(grid.ccoord)
+        csize = np.asarray(grid.csize)
+        leaf = np.asarray(grid.leaf_mask())
+        dens_arr = np.zeros((grid.n_cells, len(lam_sel)))
+        ds_arr = np.zeros((grid.n_cells, len(lam_sel)))
+        for k, l in enumerate(lam_sel):
+            g2 = TD.read_grid_2d(tab_path(float(l)))
+            lum_k, dens_k = TD.cell_average(
+                g2, centers[leaf], csize[leaf], common["modelsize"]
+            )
+            dens_arr[leaf, k] = dens_k
+            ds_arr[leaf, k] = lum_k
+        label = raw.get("label_model_lambda_grid", "model")
+        _write_lambda_grids(dir_grid, label, lam, i0, i1, dens_arr, ds_arr)
     else:
         raise SystemExit(f"unknown model {model!r}")
     out = os.path.join(raw.get("dir_grid", "."), raw.get("grid_file", "grid.h5"))

@@ -274,6 +274,128 @@ def make_galaxy_subdivision_fn(max_dtau, max_dlum, lnu_tot, z_subd_lim, R_subd_l
     return fn
 
 
+def _f(raw, key, default=0.0):
+    v = raw.get(key, default)
+    return float(v[0]) if isinstance(v, list) else float(v)
+
+
+def model_from_namelist(raw: dict, dir_grid: str):
+    """Build a GalaxyModel + grid parameters from the reference's galaxy
+    namelist groups (galaxy_input_strings/var/var_old_disk/var_young_disk/
+    var_bulge/var_thick_dust_disk/var_thin_dust_disk,
+    user_routines_galaxy.f90:286-300).
+    """
+    import os
+
+    rsun = _f(raw, "rsun", 8000.0)
+    max_z = _f(raw, "max_z", np.inf)
+    max_rad = _f(raw, "max_rad", np.inf)
+    rtrun = _f(raw, "rtrun", max_rad)
+
+    def disk(dtype_key, hc, zc, zc_r1, zc_rsun, chi, r1, hc2=0.0, theta=0.0):
+        return DiskParams(
+            disk_type=raw.get(dtype_key, "expR_expz"), a0=1.0,
+            hc=hc, zc=zc, zc_r1=zc_r1, zc_rsun=zc_rsun, chi=chi, r1=r1,
+            hc2=hc2 or hc, theta_ellipt=theta, rsun=rsun,
+            max_z=max_z, max_rad=max_rad,
+        )
+
+    old_disk = disk(
+        "old_disk_type", _f(raw, "hs_disk_b"), _f(raw, "zs_disk"),
+        _f(raw, "zs_disk_r1"), _f(raw, "zs_disk_rsun"), _f(raw, "chi_disk"),
+        _f(raw, "hsin"), _f(raw, "hs_disk2", 0.0),
+        _f(raw, "theta_disk_ellipt", 0.0),
+    )
+    young_disk = disk(
+        "young_disk_type", _f(raw, "hs_tdisk"), _f(raw, "zs_tdisk"),
+        _f(raw, "zs_tdisk_r1"), _f(raw, "zs_tdisk_rsun"), _f(raw, "chi_tdisk"),
+        _f(raw, "hs1in"), _f(raw, "hs_tdisk2", 0.0),
+        _f(raw, "theta_tdisk_ellipt", 0.0),
+    )
+    thick_dust = disk(
+        "thick_disk_type", _f(raw, "hd_disk"), _f(raw, "zd_disk"),
+        _f(raw, "zd_disk_r1"), _f(raw, "zd_disk_rsun"),
+        _f(raw, "chi_dust_disk"), _f(raw, "hdin"), _f(raw, "hd_disk2", 0.0),
+        _f(raw, "theta_dust_disk_ellipt", 0.0),
+    )
+    thin_dust = disk(
+        "thin_disk_type", _f(raw, "hd_tdisk"), _f(raw, "zd_tdisk"),
+        _f(raw, "zd_tdisk_r1"), _f(raw, "zd_tdisk_rsun"),
+        _f(raw, "chi_dust_tdisk"), _f(raw, "hd1in"), _f(raw, "hd_tdisk2", 0.0),
+        _f(raw, "theta_dust_tdisk_ellipt", 0.0),
+    )
+    bd_ratio = _f(raw, "bd_ratio", 0.0)
+    bulge = None
+    if bd_ratio > 0 and "reff" in raw:
+        bulge = BulgeParams(
+            a0=1.0, reff=_f(raw, "reff"), acap=_f(raw, "acap_bulge"),
+            ellipt=_f(raw, "ellipt", 1.0), mtrunc=_f(raw, "mtrunc", 3.0),
+            nsersic=int(_f(raw, "nsersic", 4)),
+            theta_bulge=_f(raw, "theta_bulge", 0.0),
+            ellipt_xy=_f(raw, "ellipt_xy", 1.0), max_rad=max_rad,
+        )
+
+    old_sed = read_star_sed(os.path.join(dir_grid, raw["file_old_star_sed"]))
+    young_sed = read_star_sed(os.path.join(dir_grid, raw["file_young_star_sed"]))
+
+    # per-lambda B-band scale-length overrides (read_input_galaxy,
+    # user_routines_galaxy.f90:340-352)
+    hs_arr = None
+    ids = raw.get("id_hs_disk_arr")
+    if ids is not None:
+        ids = ids if isinstance(ids, list) else [ids]
+        vals = raw.get("hs_disk_arr", [])
+        vals = vals if isinstance(vals, list) else [vals]
+        hs_arr = {int(i): float(v) for i, v in zip(ids, vals)}
+
+    model = GalaxyModel(
+        old_disk=old_disk, young_disk=young_disk, bulge=bulge,
+        thick_dust=thick_dust, thin_dust=thin_dust,
+        old_sed=old_sed, young_sed=young_sed,
+        old_norm=_f(raw, "old", 1.0), sfr=_f(raw, "sfr", 0.0),
+        bd_ratio=bd_ratio, rtrun=rtrun, hs_disk_arr=hs_arr,
+    )
+    tau1, tau2 = _f(raw, "tau1", 0.0), _f(raw, "tau2", 0.0)
+    return model, tau1, tau2
+
+
+B_BAND_UM = 0.443  # B band wavelength for the tau1/tau2 calibration
+
+
+def set_dust_a0(model: GalaxyModel, tau1: float, tau2: float,
+                kext_ratio_B: float):
+    """Dust-disk central extinction at one wavelength from the face-on
+    B-band optical depths (calc_scaling_factors_dust, galaxy.f90:1433-1465);
+    kext_ratio_B = kext(lambda)/kext(B)."""
+    k_d, k_t = kext_disk0(
+        tau1, tau2, model.thick_dust.zc, model.thin_dust.zc, kext_ratio_B
+    )
+    return dataclasses.replace(
+        model,
+        thick_dust=dataclasses.replace(model.thick_dust, a0=k_d),
+        thin_dust=dataclasses.replace(model.thin_dust, a0=k_t),
+    )
+
+
+def galaxy_dens_arr(grid, model: GalaxyModel, tau1, tau2, kext_um, kext_tab,
+                    lambda_um):
+    """Per-wavelength dust extinction on the grid leaves (the dens part of
+    the galaxy lambda grids, make_lambda_grid create_adap_grid_galaxy.f90:
+    171-226): the dust-disk profiles scaled by kext(lambda)/kext(B)."""
+    kext_B = np.interp(B_BAND_UM, kext_um, kext_tab)
+    centers = np.asarray(grid.ccoord)
+    csize = np.asarray(grid.csize)
+    leaf = np.asarray(grid.leaf_mask())
+    lam = np.atleast_1d(np.asarray(lambda_um))
+    out = np.zeros((grid.n_cells, len(lam)))
+    for il, l in enumerate(lam):
+        ratio = float(np.interp(l, kext_um, kext_tab) / kext_B)
+        m = set_dust_a0(model, tau1, tau2, ratio)
+        out[leaf, il] = cell_average(m.thick_dust, centers[leaf], csize[leaf]) \
+            + cell_average(m.thin_dust, centers[leaf], csize[leaf])
+    return out
+
+
 def galaxy_dens_stars_arr(grid, model: GalaxyModel, lambda_um):
     """Per-wavelength stellar emissivity on the grid leaves — the in-memory
     equivalent of the reference's per-lambda grid files

@@ -48,7 +48,8 @@ def _lambda_slice(wl, lambda_range: str):
         return wl.dust_slice, wl.lnum_dust
     raise ValueError(f"lambda_range must be 'stars' or 'dust', got {lambda_range!r}")
 
-def make_physics(grid: Grid, dust: DustModel, lambda_slice) -> E.Physics:
+def make_physics(grid: Grid, dust: DustModel, lambda_slice,
+                 dens_lambda=None) -> E.Physics:
     kext = dust.kext[lambda_slice]
     return E.Physics(
         dens_ref=jnp.asarray(grid.dens_ref),
@@ -57,6 +58,8 @@ def make_physics(grid: Grid, dust: DustModel, lambda_slice) -> E.Physics:
         gsca=jnp.asarray(dust.gsca[lambda_slice]),
         cs=CSPEED / PARSEC,  # [pc/s] (set_units rt_routines.f90:5190-5196)
         lambda_um=dust.lambda_um[lambda_slice],
+        dens_lambda=(jnp.asarray(dens_lambda)
+                     if dens_lambda is not None else None),
     )
 
 
@@ -79,6 +82,7 @@ def run_direct_light(
     u_init=None,
     two_d: bool = False,
     sym=None,  # rt.symmetry.SymmetryMaps (built here when two_d and absent)
+    dens_lambda=None,  # (ncell, L) per-lambda extinction (lambda grids)
 ) -> DirectLightResult:
     """Direct light on the stellar or dust wavelength range:
     precalc -> direct -> i_obs -> SED/maps.
@@ -92,7 +96,7 @@ def run_direct_light(
     sl, L = _lambda_slice(wl, lambda_range)
     if bm_par is None:
         bm_par = cfg.bm_par
-    phys = make_physics(grid, dust, sl)
+    phys = make_physics(grid, dust, sl, dens_lambda)
     stats: dict = {}
 
     if two_d:
@@ -315,6 +319,7 @@ def run_main(
     bm_par: float = None,
     u_init=None,
     two_d: bool = False,
+    dens_lambda=None,  # (ncell, L) per-lambda extinction (lambda grids)
 ) -> MainRTResult:
     """The full RT on one wavelength range: direct light + scattering
     iterations + total observer products (the 'main' rt_algorithm of
@@ -325,7 +330,7 @@ def run_main(
     sl, L = _lambda_slice(wl, lambda_range)
     if bm_par is None:
         bm_par = cfg.bm_par
-    phys = make_physics(grid, dust, sl)
+    phys = make_physics(grid, dust, sl, dens_lambda)
     sym = None
     if two_d:
         from .rt import symmetry as SYM
@@ -345,7 +350,7 @@ def run_main(
         dir_out=dir_out, pos_obs=pos_obs, make_maps=False,
         chunk=chunk, collect_scaspe=not cfg.only_direct_rt, scaspe_cfg=scfg,
         lambda_range=lambda_range, bm_par=bm_par, u_init=u_init,
-        two_d=two_d, sym=sym,
+        two_d=two_d, sym=sym, dens_lambda=dens_lambda,
     )
 
     n_point = len(p_src_pos) if p_src_pos is not None else 0

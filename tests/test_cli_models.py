@@ -1,0 +1,333 @@
+"""CLI end-to-end for the galaxy / Nbody_SPH / 2dto3d model families:
+grid creation with lambda grids + a (scaled-down) RT run through the
+lambda-grid density path (create_adap_grid_galaxy.f90,
+create_adap_grid_Nbody_SPH.f90, create_adap_grid_2dto3d.f90,
+read_lambda_grid io_routines.f90:397-498)."""
+import os
+
+import numpy as np
+import pytest
+
+DATA = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"
+)
+GX = os.path.join(DATA, "GALAXY_GRIDS", "EX1")
+
+
+@pytest.fixture(scope="module")
+def galaxy_inputs(tmp_path_factory):
+    d = tmp_path_factory.mktemp("galaxy")
+    lam = [0.443, 1.0, 2.0, 4.0]
+    (d / "lambda_small.dat").write_text("\n".join(str(x) for x in lam) + "\n")
+    (d / "dir_out.dat").write_text(" THETA PHI\n0.0 0.0\n1.047198 0.0\n")
+    for f in ("pt11_old_star_sed.dat", "pt11_young_star_sed.dat"):
+        (d / f).write_text(open(os.path.join(GX, f)).read())
+    (d / "input_grid_galaxy.in").write_text(f"""
+&galaxy_input_strings
+label_model_lambda_grid='gx',
+dir_grid='{d}/',
+grid_file='grid_gx_main.h5',
+file_lambda_list='lambda_small.dat',
+units_lambda = 'um',
+grid_type='all',
+old_disk_type='flared_sech2z',
+young_disk_type='flared_sech2z',
+thick_disk_type='flared_sech2z',
+thin_disk_type='flared_sech2z',
+dust_model = 'TRUST',
+file_av_opacities = '{DATA}/DUST_OPACITY/TRUST/ZDA_BARE_GR_S_Effective.dat'
+file_old_star_sed = 'pt11_old_star_sed.dat'
+file_young_star_sed = 'pt11_young_star_sed.dat'
+subdivision_criteria = 'standard'
+/
+&galaxy_input_var
+lambda_ref= 0.443,
+lambda_min= 0.4,
+lambda_max= 5.0 ,
+rtrun=14000.,
+rsun=8000.,
+max_z=4000,
+max_rad=14000,
+modelsize = 28000. ,
+base=3,3,
+max_ncell=1.E5,
+max_lvl=2,
+min_lvl=1,
+max_dtau=0.5,
+max_dlum=0.05
+z_subd_lim = 0
+R_subd_lim = 0
+/
+&galaxy_input_var_old_disk
+old =0.353,
+hs_disk_b=3200.,
+zs_disk=140,
+zs_disk_r1=170.,
+zs_disk_rsun=300.,
+chi_disk = 0.5,
+hsin=4500
+id_hs_disk_arr = 1
+hs_disk_arr = 2600
+/
+&galaxy_input_var_young_disk
+sfr=1.,
+hs_tdisk=3200,
+zs_tdisk=50,
+zs_tdisk_r1=67,
+zs_tdisk_rsun=90,
+chi_tdisk = 0.5,
+hs1in=4500,
+/
+&galaxy_input_var_bulge
+reff=400.,
+acap_bulge=40.,
+ellipt=0.3,
+mtrunc=3,
+bd_ratio=1.,
+nsersic=4
+theta_bulge= 0
+ellipt_xy = 1
+/
+&galaxy_input_var_thick_dust_disk
+tau1= 3.17,
+hd_disk=5200.,
+zd_disk=140.,
+zd_disk_r1=140.,
+zd_disk_rsun=140.,
+chi_dust_disk = 0.5,
+hdin= 4500,
+/
+&galaxy_input_var_thin_dust_disk
+tau2= 0.61 ,
+hd_tdisk=3200,
+zd_tdisk=50,
+zd_tdisk_r1=67,
+zd_tdisk_rsun=90,
+chi_dust_tdisk = 0.5,
+hd1in=4500,
+/
+&galaxy_input_logical
+input_av_opacities = .TRUE.
+/""")
+    (d / "input_galaxy.in").write_text(f"""
+&dartray_input_strings
+label_model_lambda_grid='gx_all',
+label_model_out='gx',
+grid_file='grid_gx_main.h5',
+file_dir_out='dir_out.dat',
+file_lambda_list='lambda_small.dat',
+dir_runs='{d}/RUNS',
+dir_grid='{d}/',
+rt_algorithm='main'
+units_lambda = 'um',
+dust_model = 'TRUST',
+file_av_opacities = '{DATA}/DUST_OPACITY/TRUST/ZDA_BARE_GR_S_Effective.dat',
+units_csize = 'pc',
+units_luminosity = 'W/Hz',
+dust_heating_type = 'eff'
+/
+&dartray_input_var
+lambda_ref = 0.443
+kp_sca_max=0,
+rad_lim=0.3,
+accuracy=0.4,
+conv_en_lim=0.05,
+bm_par=2,
+bm_par_sca=2,
+bm_par_max=30,
+max_lambda_stars = 5,
+min_lambda_dust = 1.,
+dist_obs = 1E6
+npixel_maps = 40
+map_size_factor = 1.0
+/
+&dartray_input_logical
+use_lambda_grid = .TRUE.,
+use_dir_out = .TRUE.,
+print_sed = .TRUE.
+print_maps = .TRUE.
+input_av_opacities = .TRUE.,
+no_communications = .TRUE.
+no_dust_rt = .TRUE.
+only_direct_rt = .TRUE.
+/""")
+    return d
+
+
+def test_galaxy_create_grid_and_run(galaxy_inputs):
+    from dartray_tpu import cli
+    from dartray_tpu.grid.io import read_grid, read_lambda_grids
+
+    d = galaxy_inputs
+    rc = cli.main(["create-grid", "galaxy", str(d / "input_grid_galaxy.in")])
+    assert rc == 0
+    grid = read_grid(str(d / "grid_gx_main.h5"))
+    assert grid.base == (3, 3)
+    dens = np.asarray(grid.dens_ref)
+    stars = np.asarray(grid.dens_stars_ref)
+    assert (dens > 0).sum() > 5 and (stars > 0).sum() > 5
+
+    # lambda grids written for the [0.4, 5] range (0.443 ... 4.0)
+    lam_sel = [0.443, 1.0, 2.0, 4.0]
+    dens_arr, ds_arr, dens_ref = read_lambda_grids(
+        str(d), "gx_all", lam_sel, grid.n_cells, 0.443
+    )
+    assert np.allclose(dens_ref, dens_arr[:, 0])
+    # the reference-lambda grid matches the main grid's dens
+    assert np.allclose(dens_ref, dens, rtol=1e-10)
+    # extinction falls with wavelength in the optical/NIR
+    assert dens_arr[:, 3].sum() < dens_arr[:, 0].sum()
+    # stellar emissivity: old+young disks + bulge all positive somewhere
+    assert (ds_arr > 0).any(axis=0).all()
+
+    rc = cli.main(["run", "galaxy", str(d / "input_galaxy.in")])
+    assert rc == 0
+    runs = d / "RUNS"
+    assert (runs / "grid_gx_sed.h5").exists()
+    assert (runs / "grid_gx_l0.443um_ufield.h5").exists()
+    import h5py
+
+    with h5py.File(runs / "grid_gx_sed.h5") as f:
+        sed = f["sed"][...]
+    assert sed.shape == (2, 4)
+    assert np.all(sed > 0)
+    # edge-on (theta=pi/3 here) vs face-on: face-on brighter at the most
+    # extinguished wavelength for an optically thick disk seen through less
+    # column face-on; just sanity: finite and not absurd
+    assert np.all(np.isfinite(sed))
+
+
+@pytest.fixture(scope="module")
+def twod3d_inputs(tmp_path_factory):
+    d = tmp_path_factory.mktemp("m2dto3d")
+    # two tiny 2D (R,z) tables at 12um and 25um
+    lam = [12.0, 25.0]
+    (d / "lambda_small.dat").write_text("\n".join(str(x) for x in lam) + "\n")
+    r = np.linspace(0.0, 12000.0, 13)
+    z = np.linspace(0.0, 3000.0, 7)
+    for l, s in zip(lam, (1.0, 2.0)):
+        rows = ["R z jnu k"]
+        for ri in r:
+            for zi in z:
+                jnu = s * np.exp(-ri / 4000.0 - zi / 300.0)
+                k = 1e-4 * s * np.exp(-ri / 5000.0 - zi / 200.0)
+                rows.append(f"{ri} {zi} {jnu:.6e} {k:.6e}")
+        (d / f"tab2d_l{l:.3f}um.dat").write_text("\n".join(rows) + "\n")
+    (d / "input_grid_2dto3d.in").write_text(f"""
+&m2dto3d_input_strings
+label_model_lambda_grid='m2d',
+dir_grid='{d}/',
+dir_grid_2d = '{d}/'
+label_model_2d= 'tab2d',
+grid_file='grid_m2d_main.h5',
+file_lambda_list='lambda_small.dat',
+units_lambda = 'um',
+dust_model = 'TRUST',
+file_av_opacities = '{DATA}/DUST_OPACITY/TRUST/ZDA_BARE_GR_S_Effective.dat'
+subdivision_criteria = 'standard'
+/
+&m2dto3d_input_var
+lambda_ref= 12,
+lambda_min= 12.,
+lambda_max= 850.,
+modelsize = 28000. ,
+base=3,3,
+max_ncell=1.E5,
+max_lvl=2,
+min_lvl=1,
+max_dtau=1.0,
+max_dlum=0.05
+/
+&m2dto3d_input_logical
+input_av_opacities = .TRUE.
+/""")
+    return d
+
+
+def test_2dto3d_create_grid(twod3d_inputs):
+    from dartray_tpu import cli
+    from dartray_tpu.grid.io import read_grid, read_lambda_grids
+
+    d = twod3d_inputs
+    rc = cli.main(["create-grid", "2dto3d", str(d / "input_grid_2dto3d.in")])
+    assert rc == 0
+    grid = read_grid(str(d / "grid_m2d_main.h5"))
+    dens_arr, ds_arr, dens_ref = read_lambda_grids(
+        str(d), "m2d", [12.0, 25.0], grid.n_cells, 12.0
+    )
+    assert np.allclose(dens_ref, dens_arr[:, 0])
+    assert (ds_arr > 0).sum() > 5
+    # the 25um table is exactly 2x the 12um one
+    # table values carry 6 significant digits (the .dat formatting)
+    np.testing.assert_allclose(dens_arr[:, 1], 2.0 * dens_arr[:, 0], rtol=1e-5)
+    np.testing.assert_allclose(ds_arr[:, 1], 2.0 * ds_arr[:, 0], rtol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def nbody_inputs(tmp_path_factory):
+    d = tmp_path_factory.mktemp("nbody")
+    rng = np.random.default_rng(7)
+    ns, ng = 400, 600
+    import h5py
+
+    with h5py.File(d / "parts.h5", "w") as f:
+        f["starcoord"] = rng.normal(0, 2000, (ns, 3))
+        f["mstar"] = np.full(ns, 1e6)
+        f["agestar"] = rng.uniform(0.5, 10.0, ns)  # Gyr
+        f["fehstar"] = rng.uniform(-0.5, 0.2, ns)
+        f["gascoord"] = rng.normal(0, 3000, (ng, 3))
+        f["mgas"] = np.full(ng, 1e6)
+        f["gastemp"] = np.full(ng, 1e4)
+        f["fehgas"] = np.zeros(ng)
+        f["ofegas"] = np.zeros(ng)
+    lam = [0.4, 1.0]
+    (d / "lambda_small.dat").write_text("\n".join(str(x) for x in lam) + "\n")
+    (d / "input_grid_nbody.in").write_text(f"""
+&nbody_sph_input_strings
+label_model_lambda_grid='nb',
+grid_file='grid_nb_main.h5',
+file_nbody_sph = 'parts.h5',
+dir_grid='{d}/',
+file_lambda_list = 'lambda_small.dat',
+units_lambda = 'um',
+dust_model = 'TRUST',
+file_av_opacities = '{DATA}/DUST_OPACITY/TRUST/ZDA_BARE_GR_S_Effective.dat'
+stellar_library = 'maraston2005_kr_rhb'
+subdivision_criteria = 'standard'
+/
+&nbody_sph_input_var
+modelsize = 20000
+lambda_ref= 0.4
+lambda_min = 0.4
+lambda_max = 30.
+base=3,3,
+max_ncell=1.E5
+max_lvl=2
+min_lvl=1.
+max_dtau= 0.5
+max_dlum=0.05
+/
+&nbody_sph_input_logical
+input_av_opacities = .TRUE.,
+/""")
+    return d
+
+
+def test_nbody_create_grid(nbody_inputs, monkeypatch):
+    from dartray_tpu import cli
+    from dartray_tpu.grid.io import read_grid, read_lambda_grids
+
+    d = nbody_inputs
+    monkeypatch.chdir(os.path.dirname(DATA))  # resolve ./data/STELLAR_LIBRARIES
+    rc = cli.main(["create-grid", "Nbody_SPH", str(d / "input_grid_nbody.in")])
+    assert rc == 0
+    grid = read_grid(str(d / "grid_nb_main.h5"))
+    dens_arr, ds_arr, dens_ref = read_lambda_grids(
+        str(d), "nb", [0.4, 1.0], grid.n_cells, 0.4
+    )
+    assert (np.asarray(grid.dens_ref) > 0).sum() > 5
+    assert (np.asarray(grid.dens_stars_ref) > 0).sum() > 5
+    assert np.allclose(dens_ref, dens_arr[:, 0])
+    # NIR extinction below optical
+    assert dens_arr[:, 1].sum() < dens_arr[:, 0].sum()
+    assert (ds_arr > 0).sum() > 5
