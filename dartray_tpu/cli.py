@@ -138,6 +138,26 @@ def cmd_run(model: str, input_file: str):
     if algo == "projection":
         return cmd_projection(cfg, grid, wl, dustm, dens_stars, p_src_pos, p_src_lum,
                               dir_out, pos_obs, files)
+    if algo in ("sed", "sed_dust"):
+        return cmd_sed(cfg, grid, wl, dustm, p_src_pos, dir_out, files)
+    if algo in ("i_obs", "i_obs_dust"):
+        return cmd_iobs(cfg, grid, wl, dustm, dens_stars, p_src_pos, p_src_lum,
+                        dir_out, pos_obs, files, dens_lambda)
+
+    # run-parameter dump + memory preflight (write_file_info io:854,
+    # check_memory io:3540)
+    OUT.write_file_info(files, cfg, {
+        "model": model, "n_cells": grid.n_cells,
+        "n_point_sources": 0 if p_src_pos is None else len(p_src_pos),
+    })
+    from .rt import scattering as SC
+    mem = OUT.check_memory(
+        grid.n_cells, wl.lnum_stars,
+        scfg=SC.ScaspeConfig.from_run_config(cfg, dustm, wl, dir_out),
+        n_dir=0 if dir_out is None else len(dir_out),
+    )
+    print(f"# memory estimate: {mem['total_bytes']/2**30:.2f} GiB "
+          f"(scaspe {mem['scaspe_bytes']/2**30:.2f} GiB)")
 
     two_d = algo in ("2D", "dust_2D")
     print(f"# running {algo} RT: {grid.n_cells} cells, "
@@ -146,7 +166,7 @@ def cmd_run(model: str, input_file: str):
         grid, cfg, wl, dustm,
         dens_stars_arr=dens_stars, p_src_pos=p_src_pos, p_src_lum=p_src_lum,
         dir_out=dir_out, pos_obs=pos_obs, two_d=two_d,
-        dens_lambda=dens_lambda,
+        dens_lambda=dens_lambda, files=files,
     )
     print(f"# stellar RT done in {time.time()-t0:.1f}s, "
           f"{res.iterations} scattering iterations, converged={res.converged}")
@@ -165,6 +185,50 @@ def cmd_run(model: str, input_file: str):
     if res.maps_tot is not None:
         lam_idx = cfg.ind_out_maps or list(range(wl.lnum_stars))
         OUT.write_maps(files, res.maps_tot, wl.lambda_um[lam_idx])
+
+    # internal-observer HEALPix maps (map_in_projection,
+    # visual_routines.f90:917-1076)
+    if cfg.print_maps_in and res.i_obs_in is not None and pos_obs is not None:
+        from .vis import maps_internal as MIN
+
+        psrc_pos = p_src_pos if p_src_pos is not None and len(p_src_pos) else None
+        psrc_host = None
+        if psrc_pos is not None:
+            from .rt import engine as E
+
+            psrc_host = E.point_source_set(grid, p_src_pos, p_src_lum).cell
+        maps_in = np.stack([
+            MIN.make_map_in(grid, res.i_obs_in[:, j, :], ro, cfg.kp_maps,
+                            src_pos=psrc_pos, src_host=psrc_host)
+            for j, ro in enumerate(np.asarray(pos_obs))
+        ])
+        OUT.write_maps(files, maps_in, wl.lambda_um[wl.stellar_slice],
+                       internal=True)
+
+    # scattering source function output (print_scaspe_tot)
+    if cfg.print_scaspe_tot and res.scaspe_tot is not None:
+        from .rt import scattering as SC
+
+        scfg_out = SC.ScaspeConfig.make(
+            cfg.kp_sca_max, dustm.gsca[wl.stellar_slice],
+            None if cfg.rt_algorithm in ("2D", "dust_2D") else dir_out,
+        )
+        OUT.write_scaspe(files, scfg_out, res.scaspe_tot, kind="scaspe_tot")
+
+    # lost-luminosity + ray telemetry
+    tot_rad_en = np.zeros(wl.lnum_stars)
+    if dens_stars is not None:
+        tot_rad_en += (np.asarray(dens_stars)
+                       * (np.asarray(grid.csize) ** 3)[:, None]).sum(axis=0)
+    if p_src_lum is not None:
+        tot_rad_en += np.asarray(p_src_lum).sum(axis=0)
+    OUT.write_lum_lost(files, res.lum_lost, tot_rad_en)
+    frac = res.lum_lost / np.maximum(tot_rad_en, 1e-300)
+    if frac.max() > 0.01:
+        print(f"# WARNING: lost luminosity fraction up to {frac.max():.1%} "
+              "(> 1%; consider higher accuracy/bm_par)")
+    if cfg.print_psel_av:
+        OUT.write_psel_av(files, res.direct.stats, wl.lambda_um[wl.stellar_slice])
 
     # dust emission RT
     if not cfg.no_dust_rt and not wl.no_dust_rt and cfg.dust_heating_type in (
@@ -202,6 +266,74 @@ def cmd_run(model: str, input_file: str):
             OUT.write_maps(dfiles, dres.maps_dust, wl.lambda_um[lam_idx])
 
     print(f"# all done in {time.time()-t0:.1f}s; outputs in {cfg.dir_runs}")
+    return 0
+
+
+def cmd_sed(cfg, grid, wl, dustm, p_src_pos, dir_out, files):
+    """'sed'/'sed_dust' rt_algorithm: recompute integrated SEDs (and maps)
+    from the i_obs files of a previous run (dartray_sed,
+    dartray_hub.f90:171-207)."""
+    from . import pipeline as P
+    from . import io_output as OUT
+    from .rt import engine as E
+
+    lambda_range = "dust" if cfg.rt_algorithm == "sed_dust" else "stars"
+    if lambda_range == "dust":
+        files = OUT.OutputFiles(
+            cfg.dir_runs, cfg.label_model_out, wl.lambda_um[wl.dust_slice],
+            chext=f"_dust_{cfg.dust_heating_type}",
+        )
+    n_point = 0 if p_src_pos is None else len(p_src_pos)
+    src_host = None
+    if n_point and lambda_range == "stars":
+        src_host = E.point_source_set(
+            grid, p_src_pos, np.zeros((n_point, wl.lnum_stars))
+        ).cell
+    sed, maps_out = P.run_sed_algorithm(
+        grid, cfg, wl, files, n_point if lambda_range == "stars" else 0,
+        src_host, lambda_range, dir_out,
+    )
+    OUT.write_sed(files, sed)
+    if maps_out is not None:
+        OUT.write_maps(files, maps_out, files.lambda_um)
+    print(f"# sed recomputed from i_obs files -> {files.sed}")
+    return 0
+
+
+def cmd_iobs(cfg, grid, wl, dustm, dens_stars, p_src_pos, p_src_lum,
+             dir_out, pos_obs, files, dens_lambda=None):
+    """'i_obs'/'i_obs_dust' rt_algorithm: observer intensities for (possibly
+    new) directions from the saved scattering source function, without
+    redoing the RT (dartray_i_obs, dartray_hub.f90:125-168)."""
+    from . import pipeline as P
+    from . import io_output as OUT
+    from .rt import scattering as SC
+
+    lambda_range = "dust" if cfg.rt_algorithm == "i_obs_dust" else "stars"
+    sl = wl.stellar_slice if lambda_range == "stars" else wl.dust_slice
+    if lambda_range == "dust":
+        files = OUT.OutputFiles(
+            cfg.dir_runs, cfg.label_model_out, wl.lambda_um[sl],
+            chext=f"_dust_{cfg.dust_heating_type}",
+        )
+    # read the saved scaspe_tot; only the HEALPix pixels are reused for the
+    # new directions (assign_src_lum, rt_routines.f90:3043)
+    scfg = SC.ScaspeConfig.make(cfg.kp_sca_max, dustm.gsca[sl], None)
+    scaspe_tot = OUT.read_scaspe(files, scfg, grid.n_cells, kind="scaspe_tot")
+    i_obs, i_obs_in = P.run_iobs_algorithm(
+        grid, cfg, wl, dustm, scaspe_tot, scfg, dir_out=dir_out,
+        pos_obs=pos_obs, dens_stars_arr=dens_stars, p_src_pos=p_src_pos,
+        p_src_lum=p_src_lum, lambda_range=lambda_range,
+    )
+    label_out = cfg.label_model_out_i_obs or (cfg.label_model_out + "_i_obs")
+    ofiles = OUT.OutputFiles(cfg.dir_runs, label_out, files.lambda_um,
+                             chext=files.chext)
+    if i_obs is not None:
+        OUT.write_field_per_lambda(ofiles, "i_obs", i_obs, ind=cfg.ind_i_obs)
+    if i_obs_in is not None:
+        OUT.write_field_per_lambda(ofiles, "i_obs_in", i_obs_in,
+                                   ind=cfg.ind_i_obs)
+    print(f"# i_obs recomputed from scaspe_tot -> {ofiles.dir_runs}")
     return 0
 
 

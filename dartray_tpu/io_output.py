@@ -152,6 +152,96 @@ def write_maps(files: OutputFiles, maps_arr, lambda_maps, internal=False):
               maps=np.asarray(maps_arr), lambda_um=np.asarray(lambda_maps))
 
 
+def write_scaspe(files: OutputFiles, scfg, scaspe: tuple, kind="scaspe_part2"):
+    """Persist the per-bucket scattering source function as per-wavelength
+    files, dataset (ncell, npix_tot) like the reference's scaspe outputs
+    (make_output io_routines.f90:1743; print_big_array :1112)."""
+    for b, s in zip(scfg.buckets, scaspe):
+        s = np.asarray(s)
+        for j, il in enumerate(b.lam_idx):
+            _write_h5(getattr(files, kind)(int(il)), scaspe=s[:, :, j])
+
+
+def read_scaspe(files: OutputFiles, scfg, ncell: int, kind="scaspe_part2"):
+    """Inverse of write_scaspe (read_output, io_routines.f90:1900-1997).
+
+    Files saved with more appended observer columns than the current scfg
+    expects are sliced down (the i_obs recompute algorithm reads scaspe_tot
+    with new observer directions; only the HEALPix pixels are reused,
+    rt_routines.f90:3043)."""
+    out = []
+    for b in scfg.buckets:
+        arr = np.zeros((ncell, b.npix_tot, len(b.lam_idx)))
+        for j, il in enumerate(b.lam_idx):
+            a = _read_h5(getattr(files, kind)(int(il)), "scaspe")
+            if a.shape[1] < b.npix_tot:
+                raise ValueError(
+                    f"saved scaspe has {a.shape[1]} direction columns, "
+                    f"current config needs {b.npix_tot}"
+                )
+            arr[:, :, j] = a[:, : b.npix_tot]
+        out.append(arr)
+    return tuple(out)
+
+
+def write_file_info(files: OutputFiles, cfg, extra: dict = None):
+    """Run-parameter dump (write_file_info, io_routines.f90:854-890):
+    human-readable key=value list of the input namelist + run info."""
+    import dataclasses as _dc
+
+    os.makedirs(files.dir_runs, exist_ok=True)
+    with open(files.info, "w") as f:
+        f.write("# dartray_tpu run info\n")
+        for field in _dc.fields(cfg):
+            f.write(f"{field.name} = {getattr(cfg, field.name)!r}\n")
+        for k, v in (extra or {}).items():
+            f.write(f"{k} = {v!r}\n")
+
+
+def write_psel_av(files: OutputFiles, stats: dict, lambda_um):
+    """Ray/path telemetry (psel_av_arr / ipsel_av_tot,
+    rt_routines.f90:72-74, 3220): per-stage ray and intersection counters
+    and the mean intersections per ray."""
+    keys = sorted(k for k in stats if k.endswith("_rays") or k.endswith("_steps"))
+    data = {k: np.asarray(stats[k]) for k in keys}
+    rays = sum(v for k, v in data.items() if k.endswith("_rays"))
+    steps = sum(v for k, v in data.items() if k.endswith("_steps"))
+    data["psel_av"] = np.asarray(steps / max(rays, 1), dtype=np.float64)
+    data["ipsel_av_tot"] = np.asarray(rays)
+    _write_h5(os.path.join(files.dir_runs,
+                           f"grid_{files.label}_psel_av{files.chext}.h5"),
+              **data)
+
+
+def check_memory(grid_ncell: int, L: int, scfg=None, n_dir: int = 0,
+                 safety: float = 1.2) -> dict:
+    """Pre-flight memory estimate (check_memory, io_routines.f90:3540-3607):
+    scaspe + field bytes vs available device/host memory.  Returns the
+    estimate dict; raises MemoryError when the projected footprint exceeds
+    the available bytes."""
+    field_b = 3 * grid_ncell * L * 8  # u_fest, u_final, delta
+    scaspe_b = scfg.nbytes(grid_ncell) * 2 if scfg is not None else 0
+    iobs_b = grid_ncell * max(n_dir, 1) * L * 8
+    need = int((field_b + scaspe_b + iobs_b) * safety)
+    avail = None
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable"):
+                    avail = int(line.split()[1]) * 1024
+                    break
+    except OSError:
+        pass
+    est = dict(field_bytes=field_b, scaspe_bytes=scaspe_b, iobs_bytes=iobs_b,
+               total_bytes=need, available_bytes=avail)
+    if avail is not None and need > avail:
+        raise MemoryError(
+            f"projected memory {need/2**30:.1f} GiB exceeds available "
+            f"{avail/2**30:.1f} GiB (check_memory)"
+        )
+    return est
+
+
 def check_files(files: OutputFiles, need_in: bool = False) -> str:
     """Stage-level restart detection (check_files, io_routines.f90:893):
     returns 'part2' if all direct-light outputs (incl. scaspe) exist,

@@ -83,6 +83,8 @@ def run_direct_light(
     two_d: bool = False,
     sym=None,  # rt.symmetry.SymmetryMaps (built here when two_d and absent)
     dens_lambda=None,  # (ncell, L) per-lambda extinction (lambda grids)
+    files=None,  # io_output.OutputFiles: write part1/part2 checkpoints
+    u_fest_restore=None,  # (ncell, L): restored precalc field (skip precalc)
 ) -> DirectLightResult:
     """Direct light on the stellar or dust wavelength range:
     precalc -> direct -> i_obs -> SED/maps.
@@ -140,8 +142,14 @@ def run_direct_light(
     fdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
     # ---- precalc: lower bound U_LL (rtt_precalc_*) ----
-    u_fest = jnp.zeros((grid.n_cells, L), dtype=fdtype)
-    for s, symmetrize in sources:
+    if u_fest_restore is not None:
+        # stage restore (file_restore_part1, rt_prepare dartray_hub.f90:403)
+        u_fest = jnp.asarray(u_fest_restore, dtype=fdtype)
+        sources_pre = []
+    else:
+        u_fest = jnp.zeros((grid.n_cells, L), dtype=fdtype)
+        sources_pre = sources
+    for s, symmetrize in sources_pre:
         u_base = u_fest if symmetrize else None
         r = E.run_field_stage(
             grid, phys, s, mode=M.MODE_PRECALC, u_init=u_fest,
@@ -158,6 +166,12 @@ def run_direct_light(
             )
         for k, v in r.stats.items():
             stats["precalc_" + k] = stats.get("precalc_" + k, 0) + v
+
+    if files is not None and u_fest_restore is None:
+        # part-1 checkpoint (rtt_output_part1, make_output io:1743)
+        from . import io_output as OUT
+
+        OUT.write_field_per_lambda(files, "u_fest_part1", np.asarray(u_fest))
 
     # ---- direct light (rtt_dir_*) ----
     scaspe = None
@@ -277,7 +291,7 @@ def run_direct_light(
             )
         maps_direct = np.stack(mlist)
 
-    return DirectLightResult(
+    result = DirectLightResult(
         u_fest=np.asarray(u_fest),
         u_final=np.asarray(u_final),
         i_obs=i_obs,
@@ -288,6 +302,17 @@ def run_direct_light(
         scaspe=scaspe,
         stats=stats,
     )
+    if files is not None and collect_scaspe:
+        # part-2 checkpoint: direct light complete (rtt_output_part2)
+        from . import io_output as OUT
+
+        OUT.write_field_per_lambda(files, "ufield_part2", result.u_final)
+        OUT.write_scaspe(files, scaspe_cfg, scaspe, kind="scaspe_part2")
+        if i_obs is not None:
+            OUT.write_field_per_lambda(files, "i_obs_part2", i_obs)
+        if i_obs_in is not None:
+            OUT.write_field_per_lambda(files, "i_obs_in_part2", i_obs_in)
+    return result
 
 
 @dataclasses.dataclass
@@ -320,6 +345,7 @@ def run_main(
     u_init=None,
     two_d: bool = False,
     dens_lambda=None,  # (ncell, L) per-lambda extinction (lambda grids)
+    files=None,  # io_output.OutputFiles: checkpoints + restart
 ) -> MainRTResult:
     """The full RT on one wavelength range: direct light + scattering
     iterations + total observer products (the 'main' rt_algorithm of
@@ -344,14 +370,58 @@ def run_main(
         cfg.kp_sca_max, np.asarray(dust.gsca)[sl], None if two_d else dir_out
     )
 
-    direct = run_direct_light(
-        grid, cfg, wl, dust,
-        dens_stars_arr=dens_stars_arr, p_src_pos=p_src_pos, p_src_lum=p_src_lum,
-        dir_out=dir_out, pos_obs=pos_obs, make_maps=False,
-        chunk=chunk, collect_scaspe=not cfg.only_direct_rt, scaspe_cfg=scfg,
-        lambda_range=lambda_range, bm_par=bm_par, u_init=u_init,
-        two_d=two_d, sym=sym, dens_lambda=dens_lambda,
-    )
+    # stage-level restart (check_files io_routines.f90:893; restore paths
+    # rt_prepare dartray_hub.f90:403-417 + read_output io:1900-1997)
+    restore = ""
+    if files is not None and cfg.restore_file_mpi:
+        from . import io_output as OUT
+
+        restore = OUT.check_files(files)
+        if restore == "part2" and cfg.only_direct_rt:
+            restore = ""  # nothing to resume into
+
+    n_point_r = len(p_src_pos) if p_src_pos is not None else 0
+    if restore == "part2":
+        from . import io_output as OUT
+
+        n_sid_r = grid.n_cells + n_point_r
+        sl_r, L_r = _lambda_slice(wl, lambda_range)
+        u_final_r = OUT.read_field_per_lambda(
+            files, "ufield_part2", (grid.n_cells,))
+        scaspe_r = OUT.read_scaspe(files, scfg, grid.n_cells)
+        i_obs_r = i_obs_in_r = None
+        if dir_out is not None and len(dir_out) > 0:
+            i_obs_r = OUT.read_field_per_lambda(
+                files, "i_obs_part2", (n_sid_r, len(dir_out)))
+        if pos_obs is not None and len(pos_obs) > 0:
+            i_obs_in_r = OUT.read_field_per_lambda(
+                files, "i_obs_in_part2", (n_sid_r, len(pos_obs)))
+        print("# restart: part-2 outputs found, skipping precalc + direct")
+        direct = DirectLightResult(
+            u_fest=u_final_r, u_final=u_final_r, i_obs=i_obs_r,
+            i_obs_in=i_obs_in_r, sed_direct=None, maps_direct=None,
+            lum_lost=np.zeros(L_r), scaspe=tuple(
+                jnp.asarray(x) for x in scaspe_r), stats={},
+        )
+    else:
+        u_fest_restore = None
+        if restore == "part1":
+            from . import io_output as OUT
+
+            u_fest_restore = OUT.read_field_per_lambda(
+                files, "u_fest_part1", (grid.n_cells,))
+            print("# restart: part-1 output found, skipping precalc")
+        direct = run_direct_light(
+            grid, cfg, wl, dust,
+            dens_stars_arr=dens_stars_arr, p_src_pos=p_src_pos, p_src_lum=p_src_lum,
+            dir_out=dir_out, pos_obs=pos_obs, make_maps=False,
+            chunk=chunk, collect_scaspe=not cfg.only_direct_rt, scaspe_cfg=scfg,
+            lambda_range=lambda_range, bm_par=bm_par, u_init=u_init,
+            two_d=two_d, sym=sym, dens_lambda=dens_lambda,
+            files=files if (cfg.print_output_part1 or cfg.print_output_part2
+                            or cfg.restore_file_mpi) else None,
+            u_fest_restore=u_fest_restore,
+        )
 
     n_point = len(p_src_pos) if p_src_pos is not None else 0
     n_sid = grid.n_cells + n_point

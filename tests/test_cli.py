@@ -140,3 +140,121 @@ def test_cli_create_grid_and_run(shell_inputs):
         maps = f["maps"][...]
     assert maps.shape[0] == 2 and maps.shape[1] == 50
     assert maps.max() > 0
+
+
+@pytest.fixture(scope="module")
+def restart_inputs(shell_inputs):
+    """The magtar shell input with checkpoints + restart enabled."""
+    d = shell_inputs
+    text = (d / "input_shell.in").read_text()
+    text = text.replace("label_model_out = 'shell'",
+                        "label_model_out = 'shell_rst'")
+    text = text.replace(
+        "use_dir_out = .TRUE.,",
+        "use_dir_out = .TRUE.,\nrestore_file_mpi = .TRUE.,\n"
+        "print_output_part1 = .TRUE.,\nprint_output_part2 = .TRUE.,\n"
+        "print_scaspe_tot = .TRUE.,\nprint_psel_av = .TRUE.,",
+    )
+    (d / "input_shell_rst.in").write_text(text)
+    return d
+
+
+def test_cli_restart_resume(restart_inputs):
+    """Stage-level restart (check_files io_routines.f90:893 + restore paths
+    rt_prepare dartray_hub.f90:403-417): a full run writes part-1/part-2
+    checkpoints; a rerun restores part 2, skips precalc+direct, and
+    reproduces the final outputs."""
+    import h5py
+    from dartray_tpu import cli
+
+    d = restart_inputs
+    rc = cli.main(["run", "magtar", str(d / "input_shell_rst.in")])
+    assert rc == 0
+    runs = d / "RUNS"
+    # checkpoints written
+    assert (runs / "grid_shell_rst_l1.000um_u_fest_part1.h5").exists()
+    assert (runs / "grid_shell_rst_l1.000um_ufield_part2.h5").exists()
+    assert (runs / "grid_shell_rst_l1.000um_scaspe_part2.h5").exists()
+    # telemetry files (write_file_info io:854, psel_av rt:3220)
+    assert (runs / "grid_shell_rst_info.dat").exists()
+    assert (runs / "grid_shell_rst_psel_av.h5").exists()
+    assert (runs / "grid_shell_rst_lum_lost.h5").exists()
+    with h5py.File(runs / "grid_shell_rst_sed.h5") as f:
+        sed1 = f["sed"][...]
+
+    # remove the final outputs but keep the part-2 checkpoint: the rerun
+    # must restore and reproduce the SED without redoing direct light
+    (runs / "grid_shell_rst_sed.h5").unlink()
+    rc = cli.main(["run", "magtar", str(d / "input_shell_rst.in")])
+    assert rc == 0
+    with h5py.File(runs / "grid_shell_rst_sed.h5") as f:
+        sed2 = f["sed"][...]
+    np.testing.assert_allclose(sed2, sed1, rtol=1e-10)
+
+
+def test_cli_sed_and_iobs_algorithms(restart_inputs):
+    """'sed' and 'i_obs' rt_algorithms recompute products from saved files
+    (dartray_sed dartray_hub.f90:171, dartray_i_obs :125)."""
+    import h5py
+    from dartray_tpu import cli
+
+    d = restart_inputs
+    runs = d / "RUNS"
+    with h5py.File(runs / "grid_shell_rst_sed.h5") as f:
+        sed_run = f["sed"][...]
+
+    text = (d / "input_shell_rst.in").read_text()
+    (d / "input_shell_sed.in").write_text(
+        text.replace("rt_algorithm = 'main',", "rt_algorithm = 'sed',")
+    )
+    (runs / "grid_shell_rst_sed.h5").unlink()
+    rc = cli.main(["run", "magtar", str(d / "input_shell_sed.in")])
+    assert rc == 0
+    with h5py.File(runs / "grid_shell_rst_sed.h5") as f:
+        sed_re = f["sed"][...]
+    np.testing.assert_allclose(sed_re, sed_run, rtol=1e-10)
+
+    # i_obs recompute from scaspe_tot, new output label
+    (d / "input_shell_iobs.in").write_text(
+        text.replace("rt_algorithm = 'main',", "rt_algorithm = 'i_obs',")
+    )
+    rc = cli.main(["run", "magtar", str(d / "input_shell_iobs.in")])
+    assert rc == 0
+    assert (runs / "grid_shell_rst_i_obs_l1.000um_i_obs.h5").exists()
+    with h5py.File(runs / "grid_shell_rst_i_obs_l1.000um_i_obs.h5") as f:
+        iobs_re = f["i_obs"][...]
+    with h5py.File(runs / "grid_shell_rst_l1.000um_i_obs.h5") as f:
+        iobs_run = f["i_obs"][...]
+    # direct + scattered toward the same directions: the recompute reads the
+    # scattered launch luminosity from the HEALPix pixel containing each
+    # direction (assign_src_lum) instead of the exact appended observer
+    # columns of the main run, so per-cell values carry the angular
+    # discretization of kp_sca_max=0 (12 pixels); totals must still agree
+    tot_re = iobs_re.sum(axis=0)
+    tot_run = iobs_run.sum(axis=0)
+    np.testing.assert_allclose(tot_re, tot_run, rtol=0.3)
+    assert (np.abs(iobs_re - iobs_run) > 0).any()  # scattered part present
+
+
+def test_cli_maps_in(restart_inputs):
+    """print_maps_in writes internal-observer HEALPix maps
+    (map_in_projection, visual_routines.f90:917-1076)."""
+    import h5py
+    from dartray_tpu import cli
+
+    d = restart_inputs
+    text = (d / "input_shell_rst.in").read_text()
+    text = text.replace("label_model_out = 'shell_rst'",
+                        "label_model_out = 'shell_min'")
+    text = text.replace("print_maps = .TRUE.,",
+                        "print_maps = .TRUE.,\nprint_maps_in = .TRUE.,")
+    (d / "input_shell_min.in").write_text(text)
+    rc = cli.main(["run", "magtar", str(d / "input_shell_min.in")])
+    assert rc == 0
+    runs = d / "RUNS"
+    assert (runs / "grid_shell_min_maps_in.h5").exists()
+    with h5py.File(runs / "grid_shell_min_maps_in.h5") as f:
+        maps_in = f["maps"][...]
+    # (nobs_in, npix=12*4^kp_maps, L)
+    assert maps_in.shape[0] == 1 and maps_in.shape[1] == 12 * 4**3
+    assert maps_in.max() > 0
