@@ -160,13 +160,22 @@ def cmd_run(model: str, input_file: str):
           f"(scaspe {mem['scaspe_bytes']/2**30:.2f} GiB)")
 
     two_d = algo in ("2D", "dust_2D")
+    # shard the field stages over every local device (P1+P6); a single
+    # chip runs the plain path
+    import jax
+    mesh = None
+    if len(jax.devices()) > 1:
+        from .parallel import mesh as PM
+
+        mesh = PM.ray_mesh()
+        print(f"# sharding rays over {len(jax.devices())} devices")
     print(f"# running {algo} RT: {grid.n_cells} cells, "
           f"L_stars={wl.lnum_stars}, L_dust={wl.lnum_dust}")
     res = P.run_main(
         grid, cfg, wl, dustm,
         dens_stars_arr=dens_stars, p_src_pos=p_src_pos, p_src_lum=p_src_lum,
         dir_out=dir_out, pos_obs=pos_obs, two_d=two_d,
-        dens_lambda=dens_lambda, files=files,
+        dens_lambda=dens_lambda, files=files, mesh=mesh,
     )
     print(f"# stellar RT done in {time.time()-t0:.1f}s, "
           f"{res.iterations} scattering iterations, converged={res.converged}")
@@ -250,7 +259,7 @@ def cmd_run(model: str, input_file: str):
                 cal, dustm, wl.lambda_si, wl.delta_lambda_bin)
         dres = P.run_dust_rt(grid, cfg, wl, dustm, res.u_final,
                              dir_out=dir_out, pos_obs=pos_obs, cal=cal,
-                             two_d=two_d)
+                             two_d=two_d, mesh=mesh)
         print(f"# dust RT done in {time.time()-t1:.1f}s, "
               f"{dres.iterations} heating iterations, converged={dres.converged}")
         dfiles = OUT.OutputFiles(

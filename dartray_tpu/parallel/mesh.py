@@ -60,6 +60,110 @@ def sharded_march_u(mesh: Mesh, grid: Grid, dens_ref, kext_norm, albedo, batch, 
     return jax.jit(f)(dens_ref, kext_norm, albedo, ufest, u0, batch)
 
 
+def ray_mesh(n_devices: int = None):
+    """1-D mesh over the local devices for ray data parallelism (P1)."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), ("rays",))
+
+
+_BATCH_SPECS = M.RayBatch(
+    src_pos=P("rays"), src_cell=P("rays"), theta=P("rays"), phi=P("rays"),
+    ipix=P("rays"), lum=P("rays", None), prev=P("rays"), cc_old=P("rays"),
+    isel_old=P("rays"), fresh=P("rays"), seen_other=P("rays"),
+    active=P("rays"),
+)
+
+
+def make_stage_march(mesh: Mesh, grid: Grid, n_buckets: int, **static_kw):
+    """Sharded march for the production field stages (P1 + P6 semantics).
+
+    Rays are split over the mesh 'rays' axis; every device accumulates
+    deposits into its OWN full replica of the field (and scaspe) held as a
+    device-sharded (ndev, ...) slab — the reference's no_communications
+    mode (rt_routines.f90:319; reduce_* io_routines.f90:3667-3986).  No
+    collective runs per round; the engine sums the slabs ONCE per stage
+    (stage_reduce), which XLA lowers to a single all-reduce over ICI.
+
+    Returns fn(dens_ref, kext_norm, albedo, u_fest, u_slab, batch, beam_i,
+    can_merge[, scaspe_slabs]) -> (u_slab', MarchResult[, scaspe_slabs'])
+    where u_slab is (ndev, ncell, L) sharded on axis 0.
+    """
+    ndev = mesh.shape["rays"]
+
+    def local(dens_ref, kext_norm, albedo, u_fest, u_slab, b, beam_i,
+              can_merge, scaspe_slabs):
+        out = M.march(
+            grid, dens_ref, kext_norm, albedo, u_fest, u_slab[0], b,
+            beam_i=beam_i, allow_block=can_merge,
+            **(dict(static_kw, scaspe_accum=tuple(s[0] for s in scaspe_slabs))
+               if n_buckets else static_kw),
+        )
+        if n_buckets:
+            u, res, scaspe = out
+            sc_out = tuple(s[None] for s in scaspe)
+        else:
+            u, res = out
+            sc_out = ()
+        return (
+            u[None], res.lum, res.packed_i, res.packed_f,
+            res.n_steps[None], res.lum_lost[None],
+        ) + sc_out
+
+    sc_specs = tuple(P("rays") for _ in range(n_buckets))
+    f = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P("rays"), _BATCH_SPECS, P("rays"),
+                  P("rays"), sc_specs),
+        out_specs=(P("rays"), P("rays", None), P(None, "rays"),
+                   P(None, "rays"), P("rays"), P("rays")) + sc_specs,
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(dens_ref, kext_norm, albedo, u_fest, u_slab, batch, beam_i,
+            can_merge, scaspe_slabs=()):
+        NR = batch.n
+        if NR % ndev or NR // ndev < kext_norm.shape[0]:
+            raise ValueError(
+                f"batch of {NR} rays not shardable over {ndev} devices"
+            )
+        out = f(dens_ref, kext_norm, albedo, u_fest, u_slab, batch, beam_i,
+                can_merge, scaspe_slabs)
+        u_slab2, lum, pi, pf, n_steps, lum_lost = out[:6]
+        steps_tot = jnp.sum(n_steps)
+        lost_tot = jnp.sum(lum_lost, axis=0)
+        # re-establish the single-device packed layout: row 6 of packed_i =
+        # total steps, row 2 of packed_f = total lum_lost (per-shard rows
+        # stitched along the ray axis leave per-shard values there)
+        pi = pi.at[6].set(steps_tot.astype(pi.dtype))
+        pf = pf.at[2].set(
+            jnp.zeros((pf.shape[1],), pf.dtype).at[: lost_tot.shape[0]].set(lost_tot)
+        )
+        packed_all = (
+            jnp.concatenate([pi, jax.lax.bitcast_convert_type(pf, jnp.int32)])
+            if pf.dtype == jnp.float32 else None
+        )
+        res = M.MarchResult(
+            status=pi[0], lum=lum, prev=pf[0], cc=pi[1], isel_old=pi[2],
+            dplane=pf[1], lum_lost=lost_tot, i_obs=None, n_steps=steps_tot,
+            cc_cur=pi[3], isel_cur=pi[4], seen_other=pi[5],
+            packed_i=pi, packed_f=pf, packed_all=packed_all,
+        )
+        if n_buckets:
+            return u_slab2, res, out[6:]
+        return u_slab2, res
+
+    return run
+
+
+def stage_reduce(slab):
+    """Sum the per-device accumulator slab (ndev, ...) -> (...): the ONE
+    per-stage collective (reduce_u_final_arr etc., io_routines.f90:3667)."""
+    return jax.jit(lambda s: jnp.sum(s, axis=0))(slab)
+
+
 def sharded_train_step(mesh: Mesh, grid: Grid, cs: float):
     """A full sharded 'training step': replayed field deposits +
     gradient of a field-matching loss w.r.t. the dust density, with rays

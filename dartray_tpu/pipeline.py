@@ -85,6 +85,7 @@ def run_direct_light(
     dens_lambda=None,  # (ncell, L) per-lambda extinction (lambda grids)
     files=None,  # io_output.OutputFiles: write part1/part2 checkpoints
     u_fest_restore=None,  # (ncell, L): restored precalc field (skip precalc)
+    mesh=None,  # jax.sharding.Mesh: shard the field stages over 'rays'
 ) -> DirectLightResult:
     """Direct light on the stellar or dust wavelength range:
     precalc -> direct -> i_obs -> SED/maps.
@@ -154,7 +155,7 @@ def run_direct_light(
         r = E.run_field_stage(
             grid, phys, s, mode=M.MODE_PRECALC, u_init=u_fest,
             rad_lim=cfg.rad_lim, bm_par=bm_par, bm_par_max=cfg.bm_par_max,
-            chunk=chunk,
+            chunk=chunk, mesh=mesh,
         )
         u_fest = r.u
         if symmetrize:
@@ -202,7 +203,7 @@ def run_direct_light(
             en_lim=en_lim, bm_par=bm_par, bm_par_max=cfg.bm_par_max,
             wall_lo=wall_lo, wall_hi=wall_hi, chunk=chunk,
             scaspe_cfg=scaspe_cfg if collect_scaspe else None,
-            scaspe_init=scaspe,
+            scaspe_init=scaspe, mesh=mesh,
         )
         u_final = r.u
         if collect_scaspe:
@@ -346,6 +347,7 @@ def run_main(
     two_d: bool = False,
     dens_lambda=None,  # (ncell, L) per-lambda extinction (lambda grids)
     files=None,  # io_output.OutputFiles: checkpoints + restart
+    mesh=None,  # jax.sharding.Mesh: shard the field stages over 'rays'
 ) -> MainRTResult:
     """The full RT on one wavelength range: direct light + scattering
     iterations + total observer products (the 'main' rt_algorithm of
@@ -420,7 +422,7 @@ def run_main(
             two_d=two_d, sym=sym, dens_lambda=dens_lambda,
             files=files if (cfg.print_output_part1 or cfg.print_output_part2
                             or cfg.restore_file_mpi) else None,
-            u_fest_restore=u_fest_restore,
+            u_fest_restore=u_fest_restore, mesh=mesh,
         )
 
     n_point = len(p_src_pos) if p_src_pos is not None else 0
@@ -449,7 +451,7 @@ def run_main(
                 cfg.max_sca_iterations if cfg.limit_scattering_iterations else 1000
             ),
             wall_lo=wall_lo, wall_hi=wall_hi, chunk=chunk,
-            sym=sym,
+            sym=sym, mesh=mesh,
         )
         u_tot = np.asarray(sres.u_final)
         scaspe_tot = SC.ScaspeConfig.asarray(sres.scaspe_tot)
@@ -557,6 +559,7 @@ def run_dust_rt(
     max_dust_iterations: int = 30,
     cal=None,  # dust.Calorimetry, required for 'sto'/'sto_lib'
     two_d: bool = False,  # 'dust_2D' algorithm: octant-symmetric dust RT
+    mesh=None,  # jax.sharding.Mesh: shard the RT passes over 'rays'
 ) -> DustRTResult:
     """Dust emission with self-heating iterations (dartray_dust,
     dartray_hub.f90:210-253): compute the dust emissivity from the absorbed
@@ -645,7 +648,7 @@ def run_dust_rt(
             dens_stars_arr=delta,
             dir_out=dir_out, pos_obs=pos_obs, chunk=chunk,
             lambda_range="dust", bm_par=cfg.bm_par_sca,
-            u_init=u_dust, two_d=two_d,
+            u_init=u_dust, two_d=two_d, mesh=mesh,
         )
         u_dust = np.asarray(res.u_final)
         if i_obs_tot is not None:

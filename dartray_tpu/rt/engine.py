@@ -173,12 +173,18 @@ def run_field_stage(
     src_lum_fn=None,  # optional (batch_dict, nside) -> (NR,L) per-ray luminosity override
     step_chunk: int = STEP_CHUNK,
     pool_max: int = None,
+    mesh=None,  # jax.sharding.Mesh with a 'rays' axis: shard the march
 ) -> StageResult:
     """Run one radiation-field stage (precalc or direct) over all sources.
 
     Rays from every source (and every nside of the adaptive ladder) are
     marched together in global pool rounds (rays.run_rounds); fresh
     launches are pulled lazily in source chunks so memory stays bounded.
+
+    With `mesh`, each round's batch is sharded over the mesh 'rays' axis
+    and every device deposits into its own field replica (P1 + P6,
+    SURVEY.md §2.2); the replicas are summed once at stage end — the
+    reference's reduce_u_*_arr collectives (io_routines.f90:3667-3986).
     """
     L = phys.kext_norm.shape[0]
     if fdtype is None:
@@ -198,6 +204,23 @@ def run_field_stage(
     if u_fest is None:
         u_fest = jnp.zeros((grid.n_cells, L), dtype=fdtype)
     scaspe = scaspe_init
+    ndev = 0
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        ndev = mesh.shape["rays"]
+        slab_sh = NamedSharding(mesh, _P("rays"))
+        repl_sh = NamedSharding(mesh, _P())
+
+        def _slab(x):
+            x = jnp.asarray(x, dtype=fdtype)
+            z = jnp.zeros((ndev,) + x.shape, dtype=fdtype).at[0].set(x)
+            return jax.device_put(z, slab_sh)
+
+        u = _slab(u)
+        u_fest = jax.device_put(jnp.asarray(u_fest, dtype=fdtype), repl_sh)
+        if scaspe is not None:
+            scaspe = tuple(_slab(s) for s in scaspe)
     lum_lost = np.zeros(L)
     stats: dict = {}
     dens_ref = jnp.asarray(grid.dens_ref, dtype=fdtype)
@@ -235,9 +258,36 @@ def run_field_stage(
             scaspe_lam_idx=scaspe_cfg.lam_idx_tuple(),
         )
 
+    _sharded_cache = {}
+
     def march_fn(batch, beam_i, can_merge, _d=None, small=False):
         nonlocal u, scaspe
         kw_r = kw if not small else dict(kw, max_steps=8 * kw["max_steps"])
+        if mesh is not None:
+            from ..parallel import mesh as PM
+
+            key = kw_r["max_steps"]
+            runf = _sharded_cache.get(key)
+            if runf is None:
+                kw_s = dict(kw_r)  # device arrays (nav, dens_lambda) become
+                #                    replicated closure constants
+                runf = PM.make_stage_march(
+                    mesh, grid,
+                    len(scaspe_cfg.buckets) if scaspe_cfg is not None else 0,
+                    **kw_s,
+                )
+                _sharded_cache[key] = runf
+            if scaspe_cfg is not None:
+                u, res, scaspe = runf(
+                    dens_ref, kext_norm, albedo, u_fest, u, batch,
+                    beam_i, can_merge, scaspe,
+                )
+            else:
+                u, res = runf(
+                    dens_ref, kext_norm, albedo, u_fest, u, batch,
+                    beam_i, can_merge,
+                )
+            return res
         if scaspe_cfg is not None:
             u_new, res, scaspe_new = M.march(
                 grid, dens_ref, kext_norm, albedo, u_fest, u, batch,
@@ -266,6 +316,14 @@ def run_field_stage(
 
     # lum_lost is accumulated on host from the packed round outputs
     lum_lost = lum_lost + np.asarray(stats.pop("lum_lost", 0.0), dtype=float)
+
+    if mesh is not None:
+        # the one per-stage collective (P6/P7): sum the device replicas
+        from ..parallel import mesh as PM
+
+        u = PM.stage_reduce(u)
+        if scaspe is not None:
+            scaspe = tuple(PM.stage_reduce(s) for s in scaspe)
 
     return StageResult(u=u, lum_lost=lum_lost, stats=stats, scaspe=scaspe)
 

@@ -261,6 +261,7 @@ def run_scattering(
     chunk: int = 32,
     fdtype=None,
     sym=None,  # rt.symmetry.SymmetryMaps: 2D octant-symmetry mode
+    mesh=None,  # jax.sharding.Mesh: shard each iteration over 'rays'
 ) -> ScatteringResult:
     """Scattered-light iterations (the rtt_scatt loop, dartray_hub.f90:45-52).
 
@@ -356,6 +357,7 @@ def run_scattering(
                 scaspe_cfg=scfg,
                 scaspe_init=scaspe_new,
                 src_lum_fn=src_lum_fn,
+                mesh=mesh,
             )
             u = r.u
             scaspe_new = r.scaspe
