@@ -97,6 +97,35 @@ def main():
         file=sys.stderr,
     )
 
+    # wall-time per converged RT iteration (the BASELINE.json metric):
+    # one scattering iteration on the TRUST I scaspe (kp_sca_max=1),
+    # sources = every slab cell with scattered luminosity
+    t_sca = None
+    if os.environ.get("DARTRAY_BENCH_SCATT", "1") != "0":
+        from dartray_tpu.rt import scattering as SC
+
+        scfg = SC.ScaspeConfig.make(cfg.kp_sca_max, dustm.gsca[sl], None)
+        rs = E.run_field_stage(
+            grid, phys, src, mode=M.MODE_DIRECT, u_fest=pre.u,
+            en_lim=en_lim, bm_par=cfg.bm_par, bm_par_max=cfg.bm_par_max,
+            chunk=32, scaspe_cfg=scfg,
+            scaspe_init=scfg.zeros(grid.n_cells, jnp.float32),
+        )
+        jax.block_until_ready(rs.u)
+        for warm in (True, False):
+            t = time.time()
+            sres = SC.run_scattering(
+                grid, phys, scfg, rs.scaspe, rs.u,
+                conv_en_lim=cfg.conv_en_lim, en_lim=en_lim,
+                bm_par_sca=cfg.bm_par_sca, bm_par_max=cfg.bm_par_max,
+                max_iterations=1, chunk=32,
+            )
+            jax.block_until_ready(sres.u_final)
+            t_sca = time.time() - t
+        print(f"# scattering: 1 iteration in {t_sca:.2f}s "
+              f"(rays={sres.stats.get('scatt_rays')}, "
+              f"steps={sres.stats.get('scatt_steps')})", file=sys.stderr)
+
     baseline = None
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
@@ -109,12 +138,15 @@ def main():
                 {"rays_per_sec": rays_per_sec, "device": str(dev),
                  "steps_per_sec": steps / t2, "wall_direct_s": t2}, f)
 
-    print(json.dumps({
+    out = {
         "metric": "trustI_direct_rays_per_sec_chip",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(vs, 3),
-    }))
+    }
+    if t_sca is not None:
+        out["scatt_iteration_wall_s"] = round(t_sca, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -114,3 +114,66 @@ def test_2dto3d_grid_build():
     dz = 2.0 * (z[1:] - z[:-1])  # (nz-1,), both z signs
     tot_exact = float(ann @ g2.lum[:-1, :-1] @ dz)
     np.testing.assert_allclose(tot_grid, tot_exact, rtol=0.05)
+
+
+def test_tipsy_converter_roundtrip(tmp_path):
+    """scripts/tipsy2dartray.py: standard tipsy binary -> the nine
+    Nbody_SPH datasets (io_routines.f90:149-160), with gasoline FeMassFrac/
+    OxMassFrac auxiliaries and unit conversions."""
+    import struct
+    import subprocess
+    import sys
+    import h5py
+
+    rng = np.random.default_rng(3)
+    nsph, ndark, nstar = 5, 2, 4
+    sim = tmp_path / "snap.tipsy"
+    gas = rng.random((nsph, 12)).astype(">f4")
+    gas[:, 8] = 1e4  # temp
+    dark = rng.random((ndark, 9)).astype(">f4")
+    star = rng.random((nstar, 11)).astype(">f4")
+    star[:, 8] = 0.2  # tform
+    with open(sim, "wb") as f:
+        f.write(struct.pack(">d5i", 1.0, nsph + ndark + nstar, 3,
+                            nsph, ndark, nstar))
+        f.write(gas.tobytes())
+        f.write(dark.tobytes())
+        f.write(star.tobytes())
+    n = nsph + ndark + nstar
+    fe = np.full(n, 1.31e-3, dtype=">f4")  # solar -> [Fe/H] = 0
+    ox = np.full(n, 2.0 * 5.79e-3, dtype=">f4")  # 2x solar O
+    with open(str(sim) + ".FeMassFrac", "wb") as f:
+        f.write(struct.pack(">i", n))
+        f.write(fe.tobytes())
+    with open(str(sim) + ".OxMassFrac", "wb") as f:
+        f.write(struct.pack(">i", n))
+        f.write(ox.tobytes())
+
+    out = tmp_path / "out.h5"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts/tipsy2dartray.py"),
+         str(sim), str(out), "--dkpcunit", "2.0", "--dmsolunit", "1e9",
+         "--time-gyr", "10.0"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    with h5py.File(out) as f:
+        assert f["starcoord"].shape == (nstar, 3)
+        assert f["gascoord"].shape == (nsph, 3)
+        np.testing.assert_allclose(
+            f["gascoord"][...], gas[:, 1:4].astype(np.float64) * 2000.0,
+            rtol=1e-6)
+        np.testing.assert_allclose(
+            f["mstar"][...], star[:, 0].astype(np.float64) * 1e9, rtol=1e-6)
+        np.testing.assert_allclose(f["agestar"][...], 9.8, rtol=1e-5)
+        np.testing.assert_allclose(f["fehstar"][...], 0.0, atol=1e-5)
+        np.testing.assert_allclose(f["fehgas"][...], 0.0, atol=1e-5)
+        np.testing.assert_allclose(f["ofegas"][...], np.log10(2.0),
+                                   atol=1e-5)
+        # the converted particle file feeds the model loader directly
+        from dartray_tpu.models import nbody_sph as NB
+
+        parts = NB.load_particles(str(out))
+        assert parts.starcoord.shape == (nstar, 3)
+        assert parts.mgas.shape == (nsph,)

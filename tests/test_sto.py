@@ -238,3 +238,28 @@ def test_sto_f32_session_routes_to_f64():
                                       grain_chunk=4)
     assert res.n_full == ref.n_full
     np.testing.assert_allclose(res.sed, ref.sed, rtol=1e-10)
+
+
+def test_capped_grain_escalation_conserves_energy():
+    """T-range expansion cap escalation (VERDICT r2 item 9; cf. the
+    reference's unconditional expansion loop sed_routines.f90:2389-2400):
+    with a deliberately tiny n_range_iter the first solve hits the cap;
+    the automatic 4x retry must recover a converged, energy-conserving
+    P(T), matching the default-budget run."""
+    import warnings
+
+    wl = _wl()
+    dm = _gray_model(wl, [[3e-9, 1e-8]])
+    cal = _cal(dm, wl)
+    rf = np.full((1, wl.lnum_stars), 1e2)
+
+    res_ref = sto.stochastic_emission(dm, cal, wl, rf, n_temp_pt=200,
+                                      grain_chunk=4)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # escalation must silence the warning
+        res_cap = sto.stochastic_emission(dm, cal, wl, rf, n_temp_pt=200,
+                                          grain_chunk=4, n_range_iter=3)
+    assert res_cap.n_unconverged == 0
+    emitted = (res_cap.sed[0] * wl.delta_lambda_bin_dust).sum()
+    np.testing.assert_allclose(emitted, _absorbed(dm, wl, rf[0]), rtol=0.15)
+    np.testing.assert_allclose(res_cap.sed, res_ref.sed, rtol=1e-6)
