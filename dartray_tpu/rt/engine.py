@@ -185,7 +185,29 @@ def run_field_stage(
     and every device deposits into its own field replica (P1 + P6,
     SURVEY.md §2.2); the replicas are summed once at stage end — the
     reference's reduce_u_*_arr collectives (io_routines.f90:3667-3986).
+
+    Scaspe-less single-device stages can route to the device-resident
+    persistent-pool kernel (rt.march_pool) with DARTRAY_POOL=1 (opt-in
+    until its per-iteration scatter cost beats the round driver on TPU;
+    see RUNS/ROUND3_NOTES.md).
     """
+    import os as _os
+
+    if (
+        scaspe_cfg is None
+        and mesh is None
+        and getattr(phys, "dens_lambda", None) is None
+        and src_lum_fn is None
+        and _os.environ.get("DARTRAY_POOL")
+    ):
+        from . import march_pool as MP
+
+        return MP.run_pool_stage(
+            grid, phys, sources, mode=mode, u_fest=u_fest, u_init=u_init,
+            en_lim=en_lim, rad_lim=rad_lim, bm_par=bm_par,
+            bm_par_max=bm_par_max, wall_lo=wall_lo, wall_hi=wall_hi,
+            chunk=chunk, fdtype=fdtype,
+        )
     L = phys.kext_norm.shape[0]
     if fdtype is None:
         fdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

@@ -1,0 +1,899 @@
+"""Persistent-pool ray march: the device-resident hot loop.
+
+Third-generation kernel for the field stages (precalc/direct), replacing
+the round-trip-per-nside-level structure of rays.run_rounds + march_fast
+with ONE device-resident loop (the round-2 verdict's top item: a
+"fully device-resident, compaction-free kernel" for
+rt_routines.f90:1618-1857, 2362-2557 + the ray ladder of main_dir_loop
+rt:1343-1467 / ray_list.f90).
+
+Design:
+
+* a fixed pool of NR lanes marches one cell-intersection per iteration;
+  lanes whose ray finishes are REFILLED in-loop from a device-resident
+  FIFO of pending rays, so utilization stays ~100% regardless of the
+  per-ray path-length spread (the lock-step kernels pay for the slowest
+  ray of every batch);
+* rays are "records" in a ring buffer consumed in creation order
+  (the FIFO is implicit: qhead..rptr are the pending ids); blocked-high
+  rays spawn their 4 children ON DEVICE (HEALPix child pixels + pix2ang
+  at 2x nside — define_next_level rt:2745, create_high_ray_list
+  ray_list.f90:71) — no host round trip per ladder level;
+* the per-wavelength ray-precision kill (deposit rt:2473-2491) runs
+  in-loop from the separable intensity I(lambda) = I0(lambda)
+  e^{-kext_norm(lambda) A} F_own — the loop carries only the SCALAR
+  reference-depth accumulator A per lane;
+* deposits are recorded as flat (cell, length, x, A, record) entries —
+  compacted by construction, sized by real intersections — and evaluated
+  in closed form after the loop (march_fast's phase-2 math);
+* blocked-low rays (merge candidates, ray_list.f90:210-296) are exported
+  to a bounded buffer; the (rare) 4->1 merge grouping stays on the host
+  between kernel calls (rays.merge_low).
+
+One kernel call runs up to K_MAX iterations or until a buffer fills; the
+host driver (run_pool_stage) loops on a single scalar readback, so a
+stage is O(entries/E_CAP) host syncs instead of O(ladder levels x
+continuation rounds).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..grid.octree import Grid
+from .. import healpix as hp
+from .march import (
+    GLEPSILON,
+    MODE_PRECALC,
+    MODE_DIRECT,
+    _descend,
+    _level_select,
+    _sel3,
+)
+
+NR_DEFAULT = 4096  # pool lanes
+K_MAX = 512  # loop iterations per kernel call
+E_CAP_FACTOR = 64  # entry buffer = E_CAP_FACTOR * NR
+B_CAP = 1 << 14  # blocked-low export rows per call
+
+
+def _ffields(L):
+    return dict(
+        th=(), ph=(), sx=(), sy=(), sz=(), beam=(), csn=(), prev0=(),
+        ownb=(), xown=(), I0=(L,),
+    )
+
+
+_IFIELDS = dict(nc=(), ipix=(), nside=(), isel=(), flags=(), src=())
+F_FRESH, F_SEEN, F_NOMERGE = 1, 2, 4
+
+
+def make_state(grid: Grid, L: int, NR: int = NR_DEFAULT, R: int = 1 << 16,
+               fdtype=jnp.float32):
+    """Fresh device state: empty record ring, empty lanes, empty buffers."""
+    E = E_CAP_FACTOR * NR
+    z = lambda shape, dt: jnp.zeros(shape, dtype=dt)
+    state = dict(
+        # record ring
+        qhead=jnp.zeros((), jnp.int32),
+        rptr=jnp.zeros((), jnp.int32),
+        # lanes
+        slot=jnp.full((NR,), -1, jnp.int32),
+        cc=z((NR,), jnp.int32), clvl=z((NR,), jnp.int32),
+        fx=z((NR,), jnp.int32), fy=z((NR,), jnp.int32), fz=z((NR,), jnp.int32),
+        prev=z((NR,), fdtype), isel_old=jnp.full((NR,), -1, jnp.int32),
+        seen=z((NR,), bool), A=z((NR,), fdtype), own_any=z((NR,), bool),
+        dx=z((NR,), fdtype), dy=z((NR,), fdtype), dz=z((NR,), fdtype),
+        invx=z((NR,), fdtype), invy=z((NR,), fdtype), invz=z((NR,), fdtype),
+        incx=z((NR,), jnp.int32), incy=z((NR,), jnp.int32), incz=z((NR,), jnp.int32),
+        lsx=z((NR,), fdtype), lsy=z((NR,), fdtype), lsz=z((NR,), fdtype),
+        lnc=z((NR,), jnp.int32), lcsn=z((NR,), fdtype), lbeam=z((NR,), fdtype),
+        lI0=z((NR, L), fdtype), lxown=z((NR,), fdtype), lownb=z((NR,), fdtype),
+        lcm=z((NR,), bool), lsc=z((NR,), jnp.int32),
+        # entry buffers
+        e_cc=z((E,), jnp.int32), e_len=z((E,), fdtype), e_x=z((E,), fdtype),
+        e_A=z((E,), fdtype), e_rec=z((E,), jnp.int32),
+        e_own=z((E,), bool), e_ob=z((E,), bool),
+        e_ptr=jnp.zeros((), jnp.int32),
+        # blocked-low export
+        bl_rec=z((B_CAP,), jnp.int32), bl_prev=z((B_CAP,), fdtype),
+        bl_cc=z((B_CAP,), jnp.int32), bl_isel=z((B_CAP,), jnp.int32),
+        bl_dpl=z((B_CAP,), fdtype), bl_I=z((B_CAP, L), fdtype),
+        bl_ptr=jnp.zeros((), jnp.int32),
+        # stats
+        n_steps=jnp.zeros((), jnp.int32),
+        lum_lost=z((L,), fdtype),
+    )
+    for name, shape in _ffields(L).items():
+        state["rec_" + name] = z((R,) + shape, fdtype)
+    for name in _IFIELDS:
+        state["rec_" + name] = z((R,), jnp.int32)
+    return state
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def push_records(state, new_f, new_i, new_I0, n_new):
+    """Append n_new records (host-assembled slabs, padded to a fixed
+    width) at rptr.  new_f: (NF, W) float rows in _ffields order (minus
+    I0); new_i: (NI, W) int rows in _IFIELDS order; new_I0: (W, L)."""
+    R = state["rec_th"].shape[0]
+    W = new_I0.shape[0]
+    ids = (state["rptr"] + jnp.arange(W, dtype=jnp.int32))
+    pos = jnp.where(jnp.arange(W) < n_new, ids % R, R)  # drop padding
+    fnames = [k for k in _ffields(0) if k != "I0"]
+    for row, name in enumerate(fnames):
+        state["rec_" + name] = state["rec_" + name].at[pos].set(
+            new_f[row].astype(state["rec_" + name].dtype), mode="drop")
+    for row, name in enumerate(_IFIELDS):
+        state["rec_" + name] = state["rec_" + name].at[pos].set(
+            new_i[row], mode="drop")
+    state["rec_I0"] = state["rec_I0"].at[pos].set(
+        new_I0.astype(state["rec_I0"].dtype), mode="drop")
+    state["rptr"] = state["rptr"] + n_new.astype(jnp.int32)
+    return state
+
+
+@jax.jit
+def _gather_bl(state):
+    """Device-side gather of the blocked-low export rows + their record
+    fields (one small transfer instead of pulling whole record arrays)."""
+    R = state["rec_th"].shape[0]
+    B = state["bl_rec"].shape[0]
+    rid = state["bl_rec"] % R
+    return dict(
+        sx=state["rec_sx"][rid], sy=state["rec_sy"][rid],
+        sz=state["rec_sz"][rid], nc=state["rec_nc"][rid],
+        src=state["rec_src"][rid], ipix=state["rec_ipix"][rid],
+        th=state["rec_th"][rid], ph=state["rec_ph"][rid],
+        nside=state["rec_nside"][rid], csn=state["rec_csn"][rid],
+        lum=state["bl_I"] * (
+            4.0 * jnp.pi * state["rec_csn"][rid] ** 2
+        )[:, None],
+        prev=state["bl_prev"], cc=state["bl_cc"], isel=state["bl_isel"],
+        dpl=state["bl_dpl"],
+    )
+
+
+def _min_live(state):
+    slot = state["slot"]
+    live = jnp.where(slot >= 0, slot, jnp.iinfo(jnp.int32).max)
+    return jnp.minimum(jnp.min(live), state["qhead"])
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mode", "point_source", "use_walls", "k_max"),
+    donate_argnums=(5, 6),
+)
+def pool_march(
+    grid: Grid,
+    dens_ref,
+    kext_norm,
+    albedo,
+    u_fest,
+    u_accum,
+    state,
+    *,
+    mode: int,
+    point_source: bool = False,
+    en_lim=0.0,
+    rad_lim_dist=jnp.inf,
+    bm_par=10.0,
+    bm_par_max=200.0,
+    cs=1.0,
+    wall_lo=(-jnp.inf,) * 3,
+    wall_hi=(jnp.inf,) * 3,
+    nav=None,
+    use_walls: bool = False,
+    k_max: int = K_MAX,
+):
+    """One kernel call: march until K_MAX iterations / a buffer fills /
+    all work drains, then evaluate every recorded deposit.  Returns
+    (u_accum', state')."""
+    NR = state["slot"].shape[0]
+    L = kext_norm.shape[0]
+    fdtype = state["prev"].dtype
+    R = state["rec_th"].shape[0]
+    E = state["e_cc"].shape[0]
+    csize_lv_np = grid.csize_levels()
+    n_fine = grid.n_fine
+    max_lvl = grid.max_lvl
+    b1, b2 = grid.base
+    spl_np = np.asarray(grid.fine_per_level())
+    half = jnp.asarray(grid.modelsize / 2.0, dtype=fdtype)
+    fine_size = grid.modelsize / grid.n_fine
+    csize_lv = jnp.asarray(csize_lv_np, dtype=fdtype)
+
+    dens_ref = dens_ref.astype(fdtype)
+    kext_norm = kext_norm.astype(fdtype)
+    wall_lo = tuple(jnp.asarray(w, dtype=fdtype) for w in wall_lo)
+    wall_hi = tuple(jnp.asarray(w, dtype=fdtype) for w in wall_hi)
+    en_lim = jnp.asarray(en_lim, dtype=fdtype)
+    iarange = jnp.arange(NR, dtype=jnp.int32)
+
+    def _refloor(px, py, pz):
+        fx = jnp.zeros(px.shape, dtype=jnp.int32)
+        fy = jnp.zeros(px.shape, dtype=jnp.int32)
+        fz = jnp.zeros(px.shape, dtype=jnp.int32)
+        for l in range(1, max_lvl + 1):
+            b = b1 if l == 1 else b2
+            s_l = int(spl_np[l])
+            inv_c = 1.0 / csize_lv[l]
+            gx = jnp.clip(jnp.floor(px * inv_c).astype(jnp.int32), 0, b - 1)
+            gy = jnp.clip(jnp.floor(py * inv_c).astype(jnp.int32), 0, b - 1)
+            gz = jnp.clip(jnp.floor(pz * inv_c).astype(jnp.int32), 0, b - 1)
+            px = px - gx.astype(fdtype) * csize_lv[l]
+            py = py - gy.astype(fdtype) * csize_lv[l]
+            pz = pz - gz.astype(fdtype) * csize_lv[l]
+            fx = fx + gx * s_l
+            fy = fy + gy * s_l
+            fz = fz + gz * s_l
+        return fx, fy, fz
+
+    def refill(s):
+        """Pop pending records into free lanes and initialize them."""
+        free = s["slot"] < 0
+        n_free = jnp.sum(free.astype(jnp.int32))
+        n_pend = s["rptr"] - s["qhead"]
+        n_take = jnp.minimum(n_free, n_pend).astype(jnp.int32)
+        rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+        take = free & (rank < n_take)
+        rid = (s["qhead"] + rank) % R  # physical slot
+        rid_log = s["qhead"] + rank  # logical id (stored in lane)
+
+        def g(name):
+            return s["rec_" + name][jnp.where(take, rid, 0)]
+
+        th, ph = g("th"), g("ph")
+        st_ = jnp.sin(th)
+        dx = (st_ * jnp.cos(ph)).astype(fdtype)
+        dy = (st_ * jnp.sin(ph)).astype(fdtype)
+        dz = jnp.cos(th).astype(fdtype)
+
+        def _inc(c):
+            return jnp.clip((c / GLEPSILON).astype(jnp.int32), -1, 1)
+
+        incx, incy, incz = _inc(dx), _inc(dy), _inc(dz)
+
+        def _inv(c, i):
+            return jnp.where(i != 0, 1.0 / jnp.where(c == 0, 1.0, c), jnp.inf)
+
+        invx, invy, invz = _inv(dx, incx), _inv(dy, incy), _inv(dz, incz)
+        sx, sy, sz = g("sx"), g("sy"), g("sz")
+        prev0 = g("prev0")
+        flags = g("flags")
+        fresh = (flags & F_FRESH) != 0
+        px0 = sx + prev0 * dx
+        py0 = sy + prev0 * dy
+        pz0 = sz + prev0 * dz
+        outside = (
+            (jnp.abs(px0) > half) | (jnp.abs(py0) > half) | (jnp.abs(pz0) > half)
+        )
+        fx0, fy0, fz0 = _refloor(px0 + half, py0 + half, pz0 + half)
+        cc0, clvl0 = _descend(grid, fx0, fy0, fz0)
+        nc = g("nc")
+        lvl_nc = grid.lvl[jnp.clip(nc, 0, grid.n_cells - 1)]
+        cc_i = jnp.where(fresh, nc, cc0)
+        clvl_i = jnp.where(fresh, lvl_nc, clvl0)
+        ok = take & ~outside  # rays starting outside just vanish
+
+        def u(cur, new, m=None):
+            return jnp.where(take if m is None else m, new, cur)
+
+        s2 = dict(s)
+        s2.update(
+            slot=jnp.where(ok, rid_log, jnp.where(take, -1, s["slot"])),
+            cc=u(s["cc"], cc_i), clvl=u(s["clvl"], clvl_i),
+            fx=u(s["fx"], fx0), fy=u(s["fy"], fy0), fz=u(s["fz"], fz0),
+            prev=u(s["prev"], prev0),
+            isel_old=u(s["isel_old"], g("isel")),
+            seen=u(s["seen"], (flags & F_SEEN) != 0),
+            A=u(s["A"], jnp.zeros_like(prev0)),
+            own_any=u(s["own_any"], jnp.zeros_like(take)),
+            dx=u(s["dx"], dx), dy=u(s["dy"], dy), dz=u(s["dz"], dz),
+            invx=u(s["invx"], invx), invy=u(s["invy"], invy), invz=u(s["invz"], invz),
+            incx=u(s["incx"], incx), incy=u(s["incy"], incy), incz=u(s["incz"], incz),
+            lsx=u(s["lsx"], sx), lsy=u(s["lsy"], sy), lsz=u(s["lsz"], sz),
+            lnc=u(s["lnc"], nc), lcsn=u(s["lcsn"], g("csn")),
+            lbeam=u(s["lbeam"], g("beam")),
+            lI0=jnp.where(take[:, None], s["rec_I0"][jnp.where(take, rid, 0)],
+                          s["lI0"]),
+            lxown=u(s["lxown"], jnp.zeros_like(prev0)),
+            lownb=u(s["lownb"], g("ownb")),
+            # rays at nside <= 2*nside_min never block low (deposit
+            # rt_routines.f90:2494; rays._to_batch can_merge bit); reco
+            # leftovers that failed a full merge pass deposit instead of
+            # re-blocking at the same plane forever (the reference's ladder
+            # reaches the nside floor and stops blocking, rt:2494)
+            lcm=u(s["lcm"], (g("nside") > 8) & ((flags & F_NOMERGE) == 0)),
+            lsc=u(s["lsc"], cc_i),  # start cell: flag_beam holds until left
+            qhead=(s["qhead"] + n_take).astype(jnp.int32),
+        )
+        return s2
+
+    deposit_mode = True  # this kernel only serves the deposit modes
+
+    def cond(s):
+        has_work = jnp.any(s["slot"] >= 0) | (s["qhead"] < s["rptr"])
+        room_e = s["e_ptr"] <= E - NR
+        room_r = (s["rptr"] + 4 * NR - _min_live(s)) < R
+        room_b = s["bl_ptr"] <= B_CAP - NR
+        return has_work & room_e & room_r & room_b & (s["it"] < k_max)
+
+    def body(s):
+        s = jax.lax.cond(
+            (s["qhead"] < s["rptr"]) & jnp.any(s["slot"] < 0),
+            refill, lambda x: x, s,
+        )
+        act = s["slot"] >= 0
+        cc, clvl = s["cc"], s["clvl"]
+        fx, fy, fz = s["fx"], s["fy"], s["fz"]
+        ccs = jnp.clip(cc, 0, grid.n_cells - 1)
+        nc = s["lnc"]
+
+        seen_other = s["seen"] | (act & (cc != nc) & (cc != s["lsc"]))
+        flag_beam = ~seen_other
+
+        sz_c = _level_select(clvl, spl_np, jnp.int32)
+        csize_c = _level_select(clvl, csize_lv_np, fdtype)
+        hcs = 0.5 * csize_c
+        fs = jnp.asarray(fine_size, dtype=fdtype)
+        gx_c = ((fx // sz_c) * sz_c).astype(fdtype) * fs + hcs - half
+        gy_c = ((fy // sz_c) * sz_c).astype(fdtype) * fs + hcs - half
+        gz_c = ((fz // sz_c) * sz_c).astype(fdtype) * fs + hcs - half
+
+        sx, sy, sz = s["lsx"], s["lsy"], s["lsz"]
+        incx, incy, incz = s["incx"], s["incy"], s["incz"]
+        px = jnp.where(incx != 0, (gx_c - sx + incx.astype(fdtype) * hcs) * s["invx"], jnp.inf)
+        py = jnp.where(incy != 0, (gy_c - sy + incy.astype(fdtype) * hcs) * s["invy"], jnp.inf)
+        pz = jnp.where(incz != 0, (gz_c - sz + incz.astype(fdtype) * hcs) * s["invz"], jnp.inf)
+        psel = jnp.minimum(jnp.minimum(px, py), pz)
+        isel = jnp.where(px == psel, 0, jnp.where(py == psel, 1, 2)).astype(jnp.int32)
+
+        length = psel - s["prev"]
+        length = jnp.where(jnp.abs(length) < 1e-5 * csize_c, 0.0, length)
+        length = jnp.maximum(length, 0.0)
+        has_len = length > 0
+
+        beam_i = s["lbeam"]
+        area_f = csize_c**2
+        beam_f = area_f / jnp.maximum(psel, 1e-300) ** 2
+        too_sparse = (beam_f / bm_par <= beam_i) & ~flag_beam
+        in_window = beam_f / bm_par_max < beam_i
+        dep_ok = in_window | flag_beam | ~s["lcm"]
+
+        if mode == MODE_PRECALC:
+            beyond = has_len & (psel > rad_lim_dist)
+            go_high = has_len & ~beyond & too_sparse
+            dep = ~beyond & ~(has_len & too_sparse) & (dep_ok | ~has_len)
+            go_low = has_len & ~beyond & ~too_sparse & ~dep_ok
+            gone = beyond
+            sparse_term = go_high  # same event: split (no kill in precalc)
+        else:
+            sparse_term = has_len & too_sparse
+            go_high = jnp.zeros((NR,), dtype=bool)
+            gone = jnp.zeros((NR,), dtype=bool)
+            go_low = has_len & ~too_sparse & ~dep_ok
+            dep = ~sparse_term & (dep_ok | ~has_len)
+
+        dens_c = dens_ref[ccs]
+        x_e = dens_c * length
+        is_own = cc == nc
+
+        # --- record the deposit entry ---------------------------------
+        rec = act & has_len & dep
+        rank = jnp.cumsum(rec.astype(jnp.int32)) - 1
+        pos = jnp.where(rec, s["e_ptr"] + rank, E)
+        s_new = dict(s)
+        s_new["e_cc"] = s["e_cc"].at[pos].set(cc, mode="drop")
+        s_new["e_len"] = s["e_len"].at[pos].set(length, mode="drop")
+        s_new["e_x"] = s["e_x"].at[pos].set(x_e, mode="drop")
+        s_new["e_A"] = s["e_A"].at[pos].set(s["A"], mode="drop")
+        s_new["e_rec"] = s["e_rec"].at[pos].set(s["slot"], mode="drop")
+        s_new["e_own"] = s["e_own"].at[pos].set(is_own, mode="drop")
+        s_new["e_ob"] = s["e_ob"].at[pos].set(s["own_any"], mode="drop")
+        s_new["e_ptr"] = (s["e_ptr"]
+                          + jnp.sum(rec.astype(jnp.int32))).astype(jnp.int32)
+
+        # separable-intensity accumulators
+        A_new = s["A"] + jnp.where(rec & ~is_own, x_e, 0.0)
+        xown_new = s["lxown"] + jnp.where(rec & is_own, x_e, 0.0)
+        own_new = s["own_any"] | (rec & is_own)
+        # persist x_own into the record (phase 2 reads it per record)
+        ridp = jnp.where(rec & is_own, s["slot"] % R, R)
+        s_new["rec_xown"] = s["rec_xown"].at[ridp].add(
+            jnp.where(rec & is_own, x_e, 0.0), mode="drop")
+
+        if use_walls:
+            wall_hit = (
+                (gx_c < wall_lo[0]) | (gx_c > wall_hi[0])
+                | (gy_c < wall_lo[1]) | (gy_c > wall_hi[1])
+                | (gz_c < wall_lo[2]) | (gz_c > wall_hi[2])
+            )
+        else:
+            wall_hit = jnp.zeros((NR,), dtype=bool)
+
+        # --- blocked-high: in-loop kill + split -----------------------
+        blockish = act & (sparse_term | go_low)
+        y_own = kext_norm[None, :] * jnp.where(
+            point_source, xown_new, s["lownb"]
+        )[:, None]
+        sm_o = y_own < 1e-8
+        y_safe = jnp.where(sm_o, 1.0, y_own)
+        F_own = jnp.where(
+            own_new[:, None],
+            jnp.where(sm_o, 1.0, (1.0 - jnp.exp(-y_own)) / y_safe),
+            1.0,
+        )
+        I_exit = s["lI0"] * jnp.exp(-kext_norm[None, :] * A_new[:, None]) * F_own
+
+        if mode == MODE_DIRECT:
+            tau_t = kext_norm[None, :] * (dens_c * length)[:, None]
+            sm_t = tau_t < 1e-8
+            tau_ts = jnp.where(sm_t, 1.0, tau_t)
+            i_av_t = jnp.where(
+                sm_t | (I_exit == 0), I_exit,
+                I_exit / tau_ts * (1.0 - jnp.exp(-tau_t)),
+            )
+            ufest_rows = u_fest[ccs].astype(fdtype)
+            u_beam = i_av_t * (
+                csize_c / cs / csize_c**3 * s["lcsn"]**2 * beam_f
+            )[:, None]
+            kill = u_beam < en_lim * ufest_rows
+            killed_now = (act & sparse_term)[:, None] & kill & (I_exit > 0)
+            s_new["lum_lost"] = s["lum_lost"] + jnp.sum(
+                jnp.where(killed_now,
+                          i_av_t * (beam_i * s["lcsn"]**2)[:, None], 0.0),
+                axis=0,
+            )
+            I_child = jnp.where(killed_now, 0.0, I_exit)
+            split_now = act & sparse_term & jnp.any(I_child > 0, axis=-1) & ~wall_hit
+            gone = gone | (act & sparse_term & ~split_now)
+        else:
+            I_child = I_exit
+            split_now = act & go_high
+
+        # spawn 4 children per split lane
+        n_h = jnp.sum(split_now.astype(jnp.int32))
+        hrank = jnp.cumsum(split_now.astype(jnp.int32)) - 1
+        base = s["rptr"] + 4 * hrank
+        child_nside = 2 * s["rec_nside"][jnp.where(split_now, s["slot"] % R, 0)]
+        iold = jnp.clip(s["isel_old"], 0, 2)
+        dsel = _sel3(iold, s["dx"], s["dy"], s["dz"])
+        dplane_now = jnp.where(s["isel_old"] >= 0, s["prev"] * dsel, 0.0)
+        parent_ipix = s["rec_ipix"][jnp.where(split_now, s["slot"] % R, 0)]
+        for k in range(4):
+            cid = jnp.where(split_now, (base + k) % R, R)
+            cpix = 4 * parent_ipix + k
+            cth, cph = hp._pix2ang_nest_impl(
+                jnp.maximum(child_nside, 1), cpix
+            )
+            s_new["rec_th"] = s_new["rec_th"].at[cid].set(
+                cth.astype(fdtype), mode="drop")
+            s_new["rec_ph"] = s_new["rec_ph"].at[cid].set(
+                cph.astype(fdtype), mode="drop")
+            s_new["rec_sx"] = s_new["rec_sx"].at[cid].set(s["lsx"], mode="drop")
+            s_new["rec_sy"] = s_new["rec_sy"].at[cid].set(s["lsy"], mode="drop")
+            s_new["rec_sz"] = s_new["rec_sz"].at[cid].set(s["lsz"], mode="drop")
+            s_new["rec_beam"] = s_new["rec_beam"].at[cid].set(
+                4.0 * jnp.pi / (12.0 * child_nside.astype(fdtype) ** 2),
+                mode="drop")
+            s_new["rec_csn"] = s_new["rec_csn"].at[cid].set(s["lcsn"], mode="drop")
+            s_new["rec_prev0"] = s_new["rec_prev0"].at[cid].set(s["prev"], mode="drop")
+            s_new["rec_ownb"] = s_new["rec_ownb"].at[cid].set(s["lownb"], mode="drop")
+            s_new["rec_xown"] = s_new["rec_xown"].at[cid].set(
+                jnp.zeros((NR,), fdtype), mode="drop")
+            s_new["rec_I0"] = s_new["rec_I0"].at[cid].set(I_child, mode="drop")
+            s_new["rec_nc"] = s_new["rec_nc"].at[cid].set(nc, mode="drop")
+            s_new["rec_ipix"] = s_new["rec_ipix"].at[cid].set(cpix, mode="drop")
+            s_new["rec_nside"] = s_new["rec_nside"].at[cid].set(
+                child_nside, mode="drop")
+            s_new["rec_isel"] = s_new["rec_isel"].at[cid].set(
+                s["isel_old"], mode="drop")
+            s_new["rec_flags"] = s_new["rec_flags"].at[cid].set(
+                jnp.zeros((NR,), jnp.int32), mode="drop")
+            s_new["rec_src"] = s_new["rec_src"].at[cid].set(
+                s["rec_src"][jnp.where(split_now, s["slot"] % R, 0)],
+                mode="drop")
+        s_new["rptr"] = (s["rptr"] + 4 * n_h).astype(jnp.int32)
+
+        # --- blocked-low export (merge candidates) --------------------
+        low_now = act & go_low
+        lrank = jnp.cumsum(low_now.astype(jnp.int32)) - 1
+        lpos = jnp.where(low_now, s["bl_ptr"] + lrank, B_CAP)
+        s_new["bl_rec"] = s["bl_rec"].at[lpos].set(s["slot"], mode="drop")
+        s_new["bl_prev"] = s["bl_prev"].at[lpos].set(s["prev"], mode="drop")
+        s_new["bl_cc"] = s["bl_cc"].at[lpos].set(cc, mode="drop")
+        s_new["bl_isel"] = s["bl_isel"].at[lpos].set(s["isel_old"], mode="drop")
+        s_new["bl_dpl"] = s["bl_dpl"].at[lpos].set(dplane_now, mode="drop")
+        s_new["bl_I"] = s["bl_I"].at[lpos].set(I_exit, mode="drop")
+        s_new["bl_ptr"] = (s["bl_ptr"]
+                           + jnp.sum(low_now.astype(jnp.int32))).astype(jnp.int32)
+
+        # --- advance to the next cell ---------------------------------
+        fsel = _sel3(isel, fx, fy, fz)
+        inc_sel = _sel3(isel, incx, incy, incz)
+        blk = fsel // sz_c
+        fnew_sel = jnp.where(inc_sel > 0, (blk + 1) * sz_c, blk * sz_c - 1)
+        rx, ry, rz = _refloor(
+            psel * s["dx"] + sx + half, psel * s["dy"] + sy + half,
+            psel * s["dz"] + sz + half,
+        )
+
+        def _mono(r, f, i):
+            return jnp.where(i > 0, jnp.maximum(r, f),
+                             jnp.where(i < 0, jnp.minimum(r, f), r))
+
+        mx = _mono(rx, fx, incx)
+        my = _mono(ry, fy, incy)
+        mz = _mono(rz, fz, incz)
+        fx_n = jnp.where(isel == 0, fnew_sel, mx)
+        fy_n = jnp.where(isel == 1, fnew_sel, my)
+        fz_n = jnp.where(isel == 2, fnew_sel, mz)
+
+        if nav is not None:
+            face = isel * 2 + (inc_sel > 0).astype(jnp.int32)
+            nrow = nav[jnp.clip(ccs * 6 + face, 0, nav.shape[0] - 1)]
+            nbr = nrow[:, 0]
+            cbase = nrow[:, 1]
+            nlvl = nrow[:, 2]
+            out_grid = nbr < 0
+            is_leaf = cbase < 0
+            splc = _level_select(
+                jnp.clip(nlvl + 1, 0, max_lvl), spl_np, jnp.int32
+            )
+
+            def _dig(f, o):
+                return jnp.clip((f - o) // splc, 0, b2 - 1)
+
+            dgx = _dig(fx_n, nrow[:, 3])
+            dgy = _dig(fy_n, nrow[:, 4])
+            dgz = _dig(fz_n, nrow[:, 5])
+            kidx = (dgz * b2 + dgy) * b2 + dgx
+            cc_next = jnp.where(is_leaf, nbr, cbase + kidx)
+            clvl_next = jnp.where(is_leaf, nlvl, nlvl + 1).astype(jnp.int32)
+            span_n = _level_select(clvl_next, spl_np, jnp.int32)
+            ox = jnp.where(is_leaf, nrow[:, 3], nrow[:, 3] + dgx * splc)
+            oy = jnp.where(is_leaf, nrow[:, 4], nrow[:, 4] + dgy * splc)
+            oz = jnp.where(is_leaf, nrow[:, 5], nrow[:, 5] + dgz * splc)
+            fx_n = jnp.clip(fx_n, ox, ox + span_n - 1)
+            fy_n = jnp.clip(fy_n, oy, oy + span_n - 1)
+            fz_n = jnp.clip(fz_n, oz, oz + span_n - 1)
+        else:
+            out_grid = (fnew_sel < 0) | (fnew_sel >= n_fine)
+            cc_next, clvl_next = _descend(grid, fx_n, fy_n, fz_n)
+
+        finished = act & (split_now | low_now | gone
+                          | (out_grid & ~split_now & ~low_now & ~gone))
+        still = act & ~finished
+
+        s_new.update(
+            slot=jnp.where(finished, -1, s["slot"]),
+            cc=jnp.where(still, cc_next, cc),
+            clvl=jnp.where(still, clvl_next, clvl),
+            fx=jnp.where(still, fx_n, fx),
+            fy=jnp.where(still, fy_n, fy),
+            fz=jnp.where(still, fz_n, fz),
+            prev=jnp.where(still, psel, s["prev"]),
+            isel_old=jnp.where(still, isel, s["isel_old"]),
+            seen=seen_other,
+            A=A_new,
+            own_any=own_new,
+            lxown=xown_new,
+            n_steps=(s["n_steps"]
+                     + jnp.sum(act.astype(jnp.int32))).astype(jnp.int32),
+            it=(s["it"] + 1).astype(jnp.int32),
+        )
+        return s_new
+
+    state = dict(state, it=jnp.zeros((), jnp.int32))
+    out = jax.lax.while_loop(cond, body, state)
+    out.pop("it")
+
+    # ====================================================================
+    # phase 2: closed-form deposits over the recorded flat entries
+    # ====================================================================
+    E_used = out["e_ptr"]
+    C = 1 << 14
+    nchunks = (E_used + C - 1) // C
+    inv4pi = 1.0 / (4.0 * jnp.pi)
+
+    def chunk_body(i, u_c):
+        e = i * C + jnp.arange(C, dtype=jnp.int32)
+        ok = e < E_used
+        ee = jnp.clip(e, 0, E - 1)
+        cc_e = jnp.clip(out["e_cc"][ee], 0, grid.n_cells - 1)
+        len_e = out["e_len"][ee]
+        x_e = out["e_x"][ee]
+        A_e = out["e_A"][ee]
+        rec_e = out["e_rec"][ee] % R
+        own_e = out["e_own"][ee]
+        ob_e = out["e_ob"][ee]
+        ok = ok & (len_e > 0)
+
+        I0_e = out["rec_I0"][rec_e]  # (C, L)
+        csn_e = out["rec_csn"][rec_e]
+        beam_e = out["rec_beam"][rec_e]
+        if point_source:
+            xo_e = out["rec_xown"][rec_e]
+        else:
+            xo_e = out["rec_ownb"][rec_e]
+        y_own = kext_norm[None, :] * xo_e[:, None]
+        sm_o = y_own < 1e-8
+        y_safe = jnp.where(sm_o, 1.0, y_own)
+        F_full = jnp.where(sm_o, 1.0, (1.0 - jnp.exp(-y_own)) / y_safe)
+        F_e = jnp.where(ob_e[:, None], F_full, 1.0)
+        I_e = I0_e * jnp.exp(-kext_norm[None, :] * A_e[:, None]) * F_e
+
+        tau_e = kext_norm[None, :] * x_e[:, None]
+        sm_e = tau_e < 1e-8
+        tau_se = jnp.where(sm_e, 1.0, tau_e)
+        i_av_ext = jnp.where(
+            sm_e | (I_e == 0), I_e, I_e / tau_se * (1.0 - jnp.exp(-tau_e))
+        )
+        if point_source:
+            i_av = i_av_ext  # own-cell formula coincides
+        else:
+            i_av_own = jnp.where(
+                sm_o | (I_e == 0), I_e,
+                I_e / y_safe**2 * (jnp.exp(-y_own) + y_own - 1.0),
+            )
+            i_av = jnp.where(own_e[:, None], i_av_own, i_av_ext)
+
+        lvl_e = grid.lvl[cc_e]
+        csz_e = _level_select(lvl_e, csize_lv_np, fdtype)
+        du = i_av * (len_e / csz_e**3 / cs * csn_e**2 * beam_e)[:, None]
+        du = jnp.where(ok[:, None], du, 0.0)
+        return u_c.at[cc_e].add(du)
+
+    u_accum = jax.lax.fori_loop(0, nchunks, chunk_body, u_accum)
+    out["e_ptr"] = jnp.zeros((), jnp.int32)
+    return u_accum, out
+
+
+# ---------------------------------------------------------------------------
+# host driver
+# ---------------------------------------------------------------------------
+
+PUSH_W = 1 << 14  # static pad width of a push slab
+
+
+def _records_from_dict(d, dens_ref_np, csize_np, L, fdtype):
+    """Launch dict (rays.fresh_launch / merge outputs) -> (new_f, new_i,
+    new_I0, n) slabs for push_records."""
+    n = len(d["src_cell"])
+    nc = np.asarray(d["src_cell"], dtype=np.int64)
+    csn = csize_np[nc]
+    nside = np.asarray(d["nside"], dtype=np.int64)
+    beam = 4.0 * np.pi / (12.0 * nside.astype(np.float64) ** 2)
+    lum = np.asarray(d["lum"], dtype=np.float64)
+    I0 = lum / (4.0 * np.pi * csn**2)[:, None]
+    ownb = dens_ref_np[nc] * csn
+    sp = np.asarray(d["src_pos"], dtype=np.float64)
+    flags = (
+        np.asarray(d["fresh"], dtype=np.int64) * F_FRESH
+        + np.asarray(d.get("seen_other", np.zeros(n, bool)),
+                     dtype=np.int64) * F_SEEN
+        + np.asarray(d.get("nomerge", np.zeros(n, bool)),
+                     dtype=np.int64) * F_NOMERGE
+    )
+    fmat = np.stack([
+        np.asarray(d["theta"], dtype=np.float64),
+        np.asarray(d["phi"], dtype=np.float64),
+        sp[:, 0], sp[:, 1], sp[:, 2],
+        beam, csn,
+        np.asarray(d["prev"], dtype=np.float64),
+        ownb, np.zeros(n),
+    ])
+    imat = np.stack([
+        nc,
+        np.asarray(d["ipix"], dtype=np.int64),
+        nside,
+        np.asarray(d["isel_old"], dtype=np.int64),
+        flags,
+        np.asarray(d["src_idx"], dtype=np.int64),
+    ]).astype(np.int32)
+    return fmat, imat, I0, n
+
+
+def run_pool_stage(
+    grid: Grid,
+    phys,
+    sources,
+    *,
+    mode: int,
+    u_fest=None,
+    u_init=None,
+    en_lim: float = 0.0,
+    rad_lim: float = 0.1,
+    bm_par: float = 10.0,
+    bm_par_max: float = 200.0,
+    wall_lo=(-np.inf,) * 3,
+    wall_hi=(np.inf,) * 3,
+    chunk: int = None,
+    fdtype=None,
+    stats: dict = None,
+    nr: int = NR_DEFAULT,
+    rcap: int = None,
+):
+    """Field stage (precalc/direct, no scaspe) on the persistent pool.
+
+    Drop-in equivalent of engine.run_field_stage for scaspe-less stages:
+    same sources/physics contract, same deposits, same ladder semantics
+    (in-loop splits; host merges via rays.merge_low between kernel calls).
+    """
+    from . import rays as R_
+    from .engine import StageResult, grid_nav
+
+    if fdtype is None:
+        fdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    L = phys.kext_norm.shape[0]
+    if stats is None:
+        stats = {}
+    dens_ref = jnp.asarray(grid.dens_ref, dtype=fdtype)
+    dens_np = np.asarray(grid.dens_ref, dtype=np.float64)
+    csize_np = np.asarray(grid.csize, dtype=np.float64)
+    kext_norm = jnp.asarray(phys.kext_norm, dtype=fdtype)
+    albedo = jnp.asarray(phys.albedo, dtype=fdtype)
+    # pool_march donates its accumulator: copy so the caller's u_init
+    # buffer survives (pipeline reuses it for the symmetrize base)
+    u = (jnp.zeros((grid.n_cells, L), dtype=fdtype) if u_init is None
+         else jnp.array(u_init, dtype=fdtype, copy=True))
+    if u_fest is None:
+        u_fest = jnp.zeros((grid.n_cells, L), dtype=fdtype)
+    else:
+        u_fest = jnp.asarray(u_fest, dtype=fdtype)
+    rad_lim_dist = rad_lim * grid.modelsize if mode == MODE_PRECALC else np.inf
+    use_walls = mode == MODE_DIRECT and (
+        any(np.isfinite(float(w)) for w in wall_lo)
+        or any(np.isfinite(float(w)) for w in wall_hi)
+    )
+    if rcap is None:
+        # the ring must hold the live window (pending + active records);
+        # the widest nside level of a big stage can reach several 100k
+        rcap = 1 << 19
+    state = make_state(grid, L, NR=nr, R=rcap, fdtype=fdtype)
+
+    npix0 = 12 * R_.NSIDE_MIN * R_.NSIDE_MIN
+    if chunk is None:
+        chunk = max(1, (rcap // 4) // npix0)
+
+    def push(d):
+        nonlocal state
+        n = len(d["src_cell"])
+        if n == 0:
+            return
+        if "nside" not in d:
+            d = dict(d, nside=np.full(n, R_.NSIDE_MIN, dtype=np.int64))
+        fmat, imat, I0, _ = _records_from_dict(d, dens_np, csize_np, L, fdtype)
+        for c0 in range(0, n, PUSH_W):
+            c1 = min(c0 + PUSH_W, n)
+            w = c1 - c0
+            fpad = np.zeros((fmat.shape[0], PUSH_W))
+            fpad[:, :w] = fmat[:, c0:c1]
+            ipad = np.zeros((imat.shape[0], PUSH_W), dtype=np.int32)
+            ipad[:, :w] = imat[:, c0:c1]
+            Ipad = np.zeros((PUSH_W, L))
+            Ipad[:w] = I0[c0:c1]
+            state = push_records(
+                state, jnp.asarray(fpad, dtype=fdtype),
+                jnp.asarray(ipad), jnp.asarray(Ipad, dtype=fdtype),
+                jnp.asarray(w, dtype=jnp.int32),
+            )
+
+    kw = dict(
+        mode=mode, point_source=sources.point, en_lim=float(en_lim),
+        rad_lim_dist=float(rad_lim_dist), bm_par=float(bm_par),
+        bm_par_max=float(bm_par_max), cs=phys.cs,
+        wall_lo=tuple(float(w) for w in wall_lo),
+        wall_hi=tuple(float(w) for w in wall_hi),
+        nav=grid_nav(grid), use_walls=use_walls,
+    )
+
+    def launches():
+        for c0 in range(0, sources.n, chunk):
+            hi = min(c0 + chunk, sources.n)
+            yield R_.fresh_launch(
+                sources.pos[c0:hi], sources.cell[c0:hi],
+                np.arange(c0, hi), sources.lum[c0:hi],
+            )
+
+    import os as _os
+    import time as _time
+
+    _dbg = _os.environ.get("DARTRAY_POOL_DEBUG")
+    _t0 = _time.time()
+    gen = iter(launches())
+    pending_launch = next(gen, None)
+    guard = 0
+    last_progress = (-1, -1)
+    bl_stash: list = []
+    bl_nsides: list = []
+    while True:
+        # top up the record ring from the launch stream
+        while pending_launch is not None:
+            free = rcap - (int(state["rptr"]) - int(state["qhead"]))
+            n_l = len(pending_launch["src_cell"])
+            if n_l * 2 > free:
+                break
+            push(pending_launch)
+            pending_launch = next(gen, None)
+
+        u, state = pool_march(
+            grid, dens_ref, kext_norm, albedo, u_fest, u, state, **kw
+        )
+
+        n_bl = int(state["bl_ptr"])
+        if n_bl:
+            # stash the blocked-low export; merging waits for the drain
+            # point so every sibling of a quad is present (run_rounds'
+            # global batching has the same property)
+            g = {k: np.asarray(v)[:n_bl] for k, v in _gather_bl(state).items()}
+            bl_stash.append(R_.Blocked(
+                src_pos=np.stack([g["sx"], g["sy"], g["sz"]], axis=1),
+                src_cell=g["nc"], src_idx=g["src"], ipix=g["ipix"],
+                theta=g["th"], phi=g["ph"], lum=g["lum"],
+                prev=g["prev"], cc_old=g["cc"], isel_old=g["isel"],
+                dplane=g["dpl"],
+            ))
+            bl_nsides.append(g["nside"])
+            state["bl_ptr"] = jnp.zeros((), jnp.int32)
+
+        pend = int(state["rptr"]) - int(state["qhead"])
+        n_act = int(jnp.sum((state["slot"] >= 0).astype(jnp.int32)))
+        if pend == 0 and n_act == 0 and bl_stash and pending_launch is None:
+            # drain point: merge the accumulated blocked-low rays; the
+            # unmergeable leftovers re-launch as no-merge recos
+            blocked = R_.Blocked.concat(bl_stash)
+            nsides = np.concatenate(bl_nsides)
+            bl_stash, bl_nsides = [], []
+            for ns in np.unique(nsides):
+                m = nsides == ns
+                sub = R_.Blocked(**{
+                    f.name: getattr(blocked, f.name)[m]
+                    for f in dataclasses.fields(R_.Blocked)
+                })
+                merged, reco = R_.merge_low(sub, int(ns))
+                if merged is not None:
+                    push(dict(merged, nside=np.full(
+                        len(merged["src_cell"]), ns // 2, dtype=np.int64)))
+                    stats["merged"] = stats.get("merged", 0) + len(
+                        merged["src_cell"])
+                if reco is not None:
+                    nr_ = len(reco["src_cell"])
+                    push(dict(reco, nside=np.full(nr_, ns, dtype=np.int64),
+                              nomerge=np.ones(nr_, dtype=bool)))
+                    stats["reco"] = stats.get("reco", 0) + nr_
+            pend = int(state["rptr"]) - int(state["qhead"])
+        if pend == 0 and n_act == 0 and pending_launch is None and not bl_stash:
+            break
+        if pend == 0 and n_act == 0 and pending_launch is not None:
+            # ring was too full for the next launch packet; force it now
+            push(pending_launch)
+            pending_launch = next(gen, None)
+        progress = (int(state["qhead"]), int(state["n_steps"]))
+        if _dbg:
+            print(f"# pool {guard}: t={_time.time()-_t0:.1f}s qh={progress[0]} "
+                  f"rptr={int(state['rptr'])} act={n_act} steps={progress[1]} "
+                  f"bl={n_bl}", flush=True)
+        if progress == last_progress and n_bl == 0:
+            raise RuntimeError(
+                f"pool stage stalled: {pend} pending, {n_act} active, "
+                f"ring {rcap} too small for the live window — "
+                "raise rcap (run_pool_stage(rcap=...))"
+            )
+        last_progress = progress
+        guard += 1
+        if guard > 100000:
+            raise RuntimeError("pool stage did not converge (driver guard)")
+
+    stats["steps"] = stats.get("steps", 0) + int(state["n_steps"])
+    # every record is one ray segment (fresh, child, merged or reco),
+    # matching run_rounds' ray accounting
+    stats["rays"] = stats.get("rays", 0) + int(state["rptr"])
+    lum_lost = np.asarray(state["lum_lost"], dtype=np.float64)
+    return StageResult(u=u, lum_lost=lum_lost, stats=stats, scaspe=None)

@@ -163,7 +163,13 @@ def _to_batch(d, L, pad_to=None, fdtype=jnp.float64):
                          dtype=np.int32)
     )
     if "nside" in d:
-        im[3, :n] += 4 * (np.asarray(d["nside"]) > 2 * NSIDE_MIN)
+        # reco rays that already failed a merge pass must deposit rather
+        # than re-block at the same plane forever (the reference ladder
+        # bottoms out at nside <= 2*nside_min, deposit rt:2494)
+        cm = np.asarray(d["nside"]) > 2 * NSIDE_MIN
+        if "nomerge" in d:
+            cm = cm & ~np.asarray(d["nomerge"], dtype=bool)
+        im[3, :n] += 4 * cm
     im[4, :n] = 1  # active
     fm_d = jnp.asarray(fm)
     im_d = jnp.asarray(im)
@@ -361,6 +367,7 @@ POOL_MAX = 1 << 16  # rays per assembled march call
 _POOL_FIELDS = (
     "src_pos", "src_cell", "src_idx", "ipix", "theta", "phi", "lum",
     "prev", "cc_old", "isel_old", "dplane", "fresh", "seen_other", "nside",
+    "nomerge",
 )
 
 
@@ -413,6 +420,8 @@ def run_rounds(
         nonlocal n_queued
         n = len(d["src_cell"])
         if n:
+            if "nomerge" not in d:
+                d = dict(d, nomerge=np.zeros(n, dtype=bool))
             queue.append(d)
             n_queued += n
 
@@ -528,6 +537,8 @@ def run_rounds(
                 fresh=np.zeros(len(act), dtype=bool),
                 seen_other=res_h.seen_other[act],
                 nside=nside[act],
+                nomerge=np.asarray(
+                    d.get("nomerge", np.zeros(n, dtype=bool)))[act],
             ))
 
         # blocked-high: 4x angular refinement per nside group
@@ -552,8 +563,9 @@ def run_rounds(
                     push(dict(merged, nside=np.full(
                         len(merged["src_cell"]), ns // 2, dtype=np.int64)))
                 if reco is not None:
-                    push(dict(reco, nside=np.full(
-                        len(reco["src_cell"]), ns, dtype=np.int64)))
+                    nrr = len(reco["src_cell"])
+                    push(dict(reco, nside=np.full(nrr, ns, dtype=np.int64),
+                              nomerge=np.ones(nrr, dtype=bool)))
         if _dbg:
             print(f"# post  {time.perf_counter()-t_post0:.4f}s "
                   f"act={len(act)} hi={int(hi_mask.sum())} "

@@ -1,0 +1,117 @@
+"""Persistent-pool march (rt.march_pool) vs the round-based engine path:
+the device-resident kernel must reproduce the field deposits, the ladder
+ray counts, the kill losses and the merge behavior of run_field_stage."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dartray_tpu.models import trustI
+from dartray_tpu.rt import engine as E
+from dartray_tpu.rt import march as M
+from dartray_tpu.rt import march_pool as MP
+
+
+def _ref_stage(*a, **k):
+    """run_field_stage on the round driver (the pool is opt-in via
+    DARTRAY_POOL; keep the reference explicit anyway)."""
+    import os
+
+    os.environ.pop("DARTRAY_POOL", None)
+    return E.run_field_stage(*a, **k)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    grid = trustI.build_trustI_grid(
+        tau_z=1.0, base=(10, 2), max_lvl=2, min_lvl=1, max_ncell=100_000
+    )
+    L = 3
+    phys = E.Physics(
+        dens_ref=jnp.asarray(grid.dens_ref),
+        kext_norm=jnp.asarray([2.0, 1.0, 0.5]),
+        albedo=jnp.zeros(L),
+        gsca=jnp.zeros(L),
+        cs=1.0,
+        lambda_um=np.array([0.3, 1.0, 2.0]),
+    )
+    psrc = E.point_source_set(grid, trustI.STAR_POS[None, :], np.ones((1, L)))
+    return grid, phys, psrc, L
+
+
+def _cmp(r_pool, r_ref, rtol=1e-9):
+    u1 = np.asarray(r_ref.u)
+    np.testing.assert_allclose(
+        np.asarray(r_pool.u), u1, rtol=rtol, atol=u1.max() * 1e-12
+    )
+    # relaunch accounting differs by a step per reco/continuation boundary
+    assert abs(r_pool.stats["steps"] - r_ref.stats["steps"]) <= max(
+        20, 0.01 * r_ref.stats["steps"])
+    assert r_pool.stats["rays"] == r_ref.stats["rays"]
+    np.testing.assert_allclose(
+        r_pool.lum_lost, r_ref.lum_lost, rtol=1e-8,
+        atol=max(float(np.max(r_ref.lum_lost)), 1e-300) * 1e-10,
+    )
+
+
+def test_pool_precalc_point_source(setup):
+    grid, phys, psrc, L = setup
+    kw = dict(mode=M.MODE_PRECALC, rad_lim=0.3, bm_par=3.0, bm_par_max=30.0)
+    r_ref = _ref_stage(grid, phys, psrc, **kw)
+    r_pool = MP.run_pool_stage(grid, phys, psrc, nr=512, rcap=1 << 15, **kw)
+    _cmp(r_pool, r_ref)
+
+
+def test_pool_direct_point_source_with_kills(setup):
+    grid, phys, psrc, L = setup
+    kw = dict(mode=M.MODE_PRECALC, rad_lim=0.3, bm_par=3.0, bm_par_max=30.0)
+    pre = _ref_stage(grid, phys, psrc, **kw)
+    en_lim = E.set_en_lim(grid, 0.3, 1)
+    kw = dict(mode=M.MODE_DIRECT, u_fest=pre.u, en_lim=en_lim,
+              bm_par=3.0, bm_par_max=30.0)
+    r_ref = _ref_stage(grid, phys, psrc, **kw)
+    r_pool = MP.run_pool_stage(grid, phys, psrc, nr=512, rcap=1 << 15, **kw)
+    _cmp(r_pool, r_ref)
+
+    # force the per-wavelength ray-precision kill (deposit rt:2473-2491):
+    # a huge en_lim makes every blocked-high candidate fail the u_beam test
+    kw_k = dict(kw, en_lim=1e6)
+    r_ref_k = _ref_stage(grid, phys, psrc, **kw_k)
+    r_pool_k = MP.run_pool_stage(grid, phys, psrc, nr=512, rcap=1 << 15,
+                                 **kw_k)
+    assert float(np.sum(r_ref_k.lum_lost)) > 0  # kills actually exercised
+    _cmp(r_pool_k, r_ref_k)
+
+
+def test_pool_direct_cell_sources_with_merges(setup):
+    """Cell sources on the slab: the ladder also produces blocked-low rays
+    (merge candidates) — the pool exports them and merges on the host."""
+    grid, phys, psrc, L = setup
+    ds = np.zeros((grid.n_cells, L))
+    cc = np.asarray(grid.ccoord)
+    leaf = np.asarray(grid.leaf_mask())
+    sel = np.flatnonzero(leaf & (cc[:, 2] > -4) & (cc[:, 2] < -3))[:10]
+    ds[sel] = 1.0
+    cells = E.cell_sources(grid, ds)
+    kw = dict(mode=M.MODE_PRECALC, rad_lim=1.0, bm_par=3.0, bm_par_max=30.0)
+    r_ref = _ref_stage(grid, phys, cells, **kw)
+    r_pool = MP.run_pool_stage(grid, phys, cells, nr=512, rcap=1 << 15, **kw)
+    assert r_pool.stats["rays"] == r_ref.stats["rays"]
+    assert r_pool.stats.get("merged", 0) > 0  # merges actually exercised
+    # merge grouping order differs between the drivers (per-round vs
+    # drain-point batches), so which quads merge can differ; the deposited
+    # energies must agree to the merge approximation scale
+    u1 = np.asarray(r_ref.u)
+    np.testing.assert_allclose(
+        np.asarray(r_pool.u), u1, rtol=5e-3, atol=u1.max() * 1e-4
+    )
+    assert abs(float(np.asarray(r_pool.u).sum() - u1.sum())) < 1e-3 * u1.sum()
+
+
+def test_pool_tiny_lane_count(setup):
+    """Fewer lanes than rays: refill must cycle the whole workload."""
+    grid, phys, psrc, L = setup
+    kw = dict(mode=M.MODE_PRECALC, rad_lim=0.3, bm_par=3.0, bm_par_max=30.0)
+    r_ref = _ref_stage(grid, phys, psrc, **kw)
+    r_pool = MP.run_pool_stage(grid, phys, psrc, nr=64, rcap=1 << 14, **kw)
+    _cmp(r_pool, r_ref)

@@ -35,7 +35,7 @@ def setup():
     return grid, phys, src, L
 
 
-def test_sharded_direct_stage_matches_single(setup):
+def test_sharded_direct_stage_matches_single(setup, monkeypatch):
     grid, phys, src, L = setup
     mesh = PM.ray_mesh()
     assert mesh.shape["rays"] == 8
