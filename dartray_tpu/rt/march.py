@@ -723,15 +723,18 @@ def march_legacy(
 def march(grid, dens_ref, kext_norm, albedo, u_fest, u_accum, rays, **kw):
     """Advance every ray to completion (exit / kill / block).
 
-    Dispatches to the fast two-phase kernel (march_fast: scalar geometry
-    loop + closed-form flat deposits) whenever possible; the legacy
-    lock-step kernel remains for the per-wavelength lambda-grid density
-    path (read_lambda_grid, io_routines.f90:397-498) and as the reference
-    implementation for equivalence tests (DARTRAY_LEGACY_MARCH=1).
+    The lock-step kernel is the default: on TPU it measures faster than
+    the two-phase kernel (march_fast) for the pool-round sizes the engine
+    uses (148k vs 94-103k rays/s on the TRUST I direct stage — the
+    two-phase (max_steps, NR) trace buffers and flat-deposit regrouping
+    cost more than the per-step row gathers they save).  march_fast
+    remains available with DARTRAY_FAST_MARCH=1 and for equivalence
+    tests; the lambda-grid density path always runs lock-step.
     """
     use_legacy = (
         kw.get("dens_lambda") is not None
         or os.environ.get("DARTRAY_LEGACY_MARCH")
+        or not os.environ.get("DARTRAY_FAST_MARCH")
         # the fast path materializes (max_steps, NR) trace buffers in the
         # deposit modes; unchunked calls stay on the lock-step kernel
         or (kw.get("mode", 0) <= MODE_DIRECT
