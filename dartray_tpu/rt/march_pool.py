@@ -55,20 +55,20 @@ from .march import (
     _sel3,
 )
 
-NR_DEFAULT = 4096  # pool lanes
+NR_DEFAULT = 8192  # pool lanes
 K_MAX = 512  # loop iterations per kernel call
 E_CAP_FACTOR = 64  # entry buffer = E_CAP_FACTOR * NR
 B_CAP = 1 << 14  # blocked-low export rows per call
 
 
-def _ffields(L):
-    return dict(
-        th=(), ph=(), sx=(), sy=(), sz=(), beam=(), csn=(), prev0=(),
-        ownb=(), xown=(), I0=(L,),
-    )
-
-
-_IFIELDS = dict(nc=(), ipix=(), nside=(), isel=(), flags=(), src=())
+# record float rows (rec_f) / int rows (rec_i): ONE scatter per push/spawn
+# instead of one per field (XLA TPU scatters carry fixed per-op cost — the
+# unpacked layout spent ~9 ms/iteration on 68 tiny scatters)
+RF_TH, RF_PH, RF_SX, RF_SY, RF_SZ, RF_BEAM, RF_CSN, RF_PREV0, RF_OWNB, \
+    RF_XOWN = range(10)
+NF = 10
+RI_NC, RI_IPIX, RI_NSIDE, RI_ISEL, RI_FLAGS, RI_SRC = range(6)
+NI = 6
 F_FRESH, F_SEEN, F_NOMERGE = 1, 2, 4
 
 
@@ -94,43 +94,36 @@ def make_state(grid: Grid, L: int, NR: int = NR_DEFAULT, R: int = 1 << 16,
         lnc=z((NR,), jnp.int32), lcsn=z((NR,), fdtype), lbeam=z((NR,), fdtype),
         lI0=z((NR, L), fdtype), lxown=z((NR,), fdtype), lownb=z((NR,), fdtype),
         lcm=z((NR,), bool), lsc=z((NR,), jnp.int32),
-        # entry buffers
-        e_cc=z((E,), jnp.int32), e_len=z((E,), fdtype), e_x=z((E,), fdtype),
-        e_A=z((E,), fdtype), e_rec=z((E,), jnp.int32),
-        e_own=z((E,), bool), e_ob=z((E,), bool),
+        # entry buffers (rows: len, x, A | cc, rec | own, ob)
+        e_f=z((3, E), fdtype), e_i=z((2, E), jnp.int32),
+        e_b=z((2, E), bool),
         e_ptr=jnp.zeros((), jnp.int32),
-        # blocked-low export
-        bl_rec=z((B_CAP,), jnp.int32), bl_prev=z((B_CAP,), fdtype),
-        bl_cc=z((B_CAP,), jnp.int32), bl_isel=z((B_CAP,), jnp.int32),
-        bl_dpl=z((B_CAP,), fdtype), bl_I=z((B_CAP, L), fdtype),
+        # blocked-low export (rows: prev, dpl | rec, cc, isel)
+        bl_fm=z((2, B_CAP), fdtype), bl_im=z((3, B_CAP), jnp.int32),
+        bl_I=z((B_CAP, L), fdtype),
         bl_ptr=jnp.zeros((), jnp.int32),
         # stats
         n_steps=jnp.zeros((), jnp.int32),
         lum_lost=z((L,), fdtype),
     )
-    for name, shape in _ffields(L).items():
-        state["rec_" + name] = z((R,) + shape, fdtype)
-    for name in _IFIELDS:
-        state["rec_" + name] = z((R,), jnp.int32)
+    state["rec_f"] = z((NF, R), fdtype)
+    state["rec_i"] = z((NI, R), jnp.int32)
+    state["rec_I0"] = z((R, L), fdtype)
     return state
 
 
 @partial(jax.jit, donate_argnums=(0,))
 def push_records(state, new_f, new_i, new_I0, n_new):
     """Append n_new records (host-assembled slabs, padded to a fixed
-    width) at rptr.  new_f: (NF, W) float rows in _ffields order (minus
-    I0); new_i: (NI, W) int rows in _IFIELDS order; new_I0: (W, L)."""
-    R = state["rec_th"].shape[0]
+    width) at rptr.  new_f: (NF, W) float rows (RF_* order); new_i:
+    (NI, W) int rows (RI_* order); new_I0: (W, L)."""
+    R = state["rec_f"].shape[1]
     W = new_I0.shape[0]
     ids = (state["rptr"] + jnp.arange(W, dtype=jnp.int32))
     pos = jnp.where(jnp.arange(W) < n_new, ids % R, R)  # drop padding
-    fnames = [k for k in _ffields(0) if k != "I0"]
-    for row, name in enumerate(fnames):
-        state["rec_" + name] = state["rec_" + name].at[pos].set(
-            new_f[row].astype(state["rec_" + name].dtype), mode="drop")
-    for row, name in enumerate(_IFIELDS):
-        state["rec_" + name] = state["rec_" + name].at[pos].set(
-            new_i[row], mode="drop")
+    state["rec_f"] = state["rec_f"].at[:, pos].set(
+        new_f.astype(state["rec_f"].dtype), mode="drop")
+    state["rec_i"] = state["rec_i"].at[:, pos].set(new_i, mode="drop")
     state["rec_I0"] = state["rec_I0"].at[pos].set(
         new_I0.astype(state["rec_I0"].dtype), mode="drop")
     state["rptr"] = state["rptr"] + n_new.astype(jnp.int32)
@@ -141,20 +134,17 @@ def push_records(state, new_f, new_i, new_I0, n_new):
 def _gather_bl(state):
     """Device-side gather of the blocked-low export rows + their record
     fields (one small transfer instead of pulling whole record arrays)."""
-    R = state["rec_th"].shape[0]
-    B = state["bl_rec"].shape[0]
-    rid = state["bl_rec"] % R
+    R = state["rec_f"].shape[1]
+    rid = state["bl_im"][0] % R
+    gf = state["rec_f"][:, rid]
+    gi = state["rec_i"][:, rid]
     return dict(
-        sx=state["rec_sx"][rid], sy=state["rec_sy"][rid],
-        sz=state["rec_sz"][rid], nc=state["rec_nc"][rid],
-        src=state["rec_src"][rid], ipix=state["rec_ipix"][rid],
-        th=state["rec_th"][rid], ph=state["rec_ph"][rid],
-        nside=state["rec_nside"][rid], csn=state["rec_csn"][rid],
-        lum=state["bl_I"] * (
-            4.0 * jnp.pi * state["rec_csn"][rid] ** 2
-        )[:, None],
-        prev=state["bl_prev"], cc=state["bl_cc"], isel=state["bl_isel"],
-        dpl=state["bl_dpl"],
+        sx=gf[RF_SX], sy=gf[RF_SY], sz=gf[RF_SZ], nc=gi[RI_NC],
+        src=gi[RI_SRC], ipix=gi[RI_IPIX], th=gf[RF_TH], ph=gf[RF_PH],
+        nside=gi[RI_NSIDE], csn=gf[RF_CSN],
+        lum=state["bl_I"] * (4.0 * jnp.pi * gf[RF_CSN] ** 2)[:, None],
+        prev=state["bl_fm"][0], cc=state["bl_im"][1],
+        isel=state["bl_im"][2], dpl=state["bl_fm"][1],
     )
 
 
@@ -197,8 +187,8 @@ def pool_march(
     NR = state["slot"].shape[0]
     L = kext_norm.shape[0]
     fdtype = state["prev"].dtype
-    R = state["rec_th"].shape[0]
-    E = state["e_cc"].shape[0]
+    R = state["rec_f"].shape[1]
+    E = state["e_f"].shape[1]
     csize_lv_np = grid.csize_levels()
     n_fine = grid.n_fine
     max_lvl = grid.max_lvl
@@ -244,11 +234,11 @@ def pool_march(
         take = free & (rank < n_take)
         rid = (s["qhead"] + rank) % R  # physical slot
         rid_log = s["qhead"] + rank  # logical id (stored in lane)
+        ridm = jnp.where(take, rid, 0)
+        gf = s["rec_f"][:, ridm]  # (NF, NR)
+        gi = s["rec_i"][:, ridm]  # (NI, NR)
 
-        def g(name):
-            return s["rec_" + name][jnp.where(take, rid, 0)]
-
-        th, ph = g("th"), g("ph")
+        th, ph = gf[RF_TH], gf[RF_PH]
         st_ = jnp.sin(th)
         dx = (st_ * jnp.cos(ph)).astype(fdtype)
         dy = (st_ * jnp.sin(ph)).astype(fdtype)
@@ -263,9 +253,9 @@ def pool_march(
             return jnp.where(i != 0, 1.0 / jnp.where(c == 0, 1.0, c), jnp.inf)
 
         invx, invy, invz = _inv(dx, incx), _inv(dy, incy), _inv(dz, incz)
-        sx, sy, sz = g("sx"), g("sy"), g("sz")
-        prev0 = g("prev0")
-        flags = g("flags")
+        sx, sy, sz = gf[RF_SX], gf[RF_SY], gf[RF_SZ]
+        prev0 = gf[RF_PREV0]
+        flags = gi[RI_FLAGS]
         fresh = (flags & F_FRESH) != 0
         px0 = sx + prev0 * dx
         py0 = sy + prev0 * dy
@@ -275,7 +265,7 @@ def pool_march(
         )
         fx0, fy0, fz0 = _refloor(px0 + half, py0 + half, pz0 + half)
         cc0, clvl0 = _descend(grid, fx0, fy0, fz0)
-        nc = g("nc")
+        nc = gi[RI_NC]
         lvl_nc = grid.lvl[jnp.clip(nc, 0, grid.n_cells - 1)]
         cc_i = jnp.where(fresh, nc, cc0)
         clvl_i = jnp.where(fresh, lvl_nc, clvl0)
@@ -290,7 +280,7 @@ def pool_march(
             cc=u(s["cc"], cc_i), clvl=u(s["clvl"], clvl_i),
             fx=u(s["fx"], fx0), fy=u(s["fy"], fy0), fz=u(s["fz"], fz0),
             prev=u(s["prev"], prev0),
-            isel_old=u(s["isel_old"], g("isel")),
+            isel_old=u(s["isel_old"], gi[RI_ISEL]),
             seen=u(s["seen"], (flags & F_SEEN) != 0),
             A=u(s["A"], jnp.zeros_like(prev0)),
             own_any=u(s["own_any"], jnp.zeros_like(take)),
@@ -298,18 +288,17 @@ def pool_march(
             invx=u(s["invx"], invx), invy=u(s["invy"], invy), invz=u(s["invz"], invz),
             incx=u(s["incx"], incx), incy=u(s["incy"], incy), incz=u(s["incz"], incz),
             lsx=u(s["lsx"], sx), lsy=u(s["lsy"], sy), lsz=u(s["lsz"], sz),
-            lnc=u(s["lnc"], nc), lcsn=u(s["lcsn"], g("csn")),
-            lbeam=u(s["lbeam"], g("beam")),
-            lI0=jnp.where(take[:, None], s["rec_I0"][jnp.where(take, rid, 0)],
-                          s["lI0"]),
+            lnc=u(s["lnc"], nc), lcsn=u(s["lcsn"], gf[RF_CSN]),
+            lbeam=u(s["lbeam"], gf[RF_BEAM]),
+            lI0=jnp.where(take[:, None], s["rec_I0"][ridm], s["lI0"]),
             lxown=u(s["lxown"], jnp.zeros_like(prev0)),
-            lownb=u(s["lownb"], g("ownb")),
+            lownb=u(s["lownb"], gf[RF_OWNB]),
             # rays at nside <= 2*nside_min never block low (deposit
             # rt_routines.f90:2494; rays._to_batch can_merge bit); reco
             # leftovers that failed a full merge pass deposit instead of
             # re-blocking at the same plane forever (the reference's ladder
             # reaches the nside floor and stops blocking, rt:2494)
-            lcm=u(s["lcm"], (g("nside") > 8) & ((flags & F_NOMERGE) == 0)),
+            lcm=u(s["lcm"], (gi[RI_NSIDE] > 8) & ((flags & F_NOMERGE) == 0)),
             lsc=u(s["lsc"], cc_i),  # start cell: flag_beam holds until left
             qhead=(s["qhead"] + n_take).astype(jnp.int32),
         )
@@ -389,13 +378,12 @@ def pool_march(
         rank = jnp.cumsum(rec.astype(jnp.int32)) - 1
         pos = jnp.where(rec, s["e_ptr"] + rank, E)
         s_new = dict(s)
-        s_new["e_cc"] = s["e_cc"].at[pos].set(cc, mode="drop")
-        s_new["e_len"] = s["e_len"].at[pos].set(length, mode="drop")
-        s_new["e_x"] = s["e_x"].at[pos].set(x_e, mode="drop")
-        s_new["e_A"] = s["e_A"].at[pos].set(s["A"], mode="drop")
-        s_new["e_rec"] = s["e_rec"].at[pos].set(s["slot"], mode="drop")
-        s_new["e_own"] = s["e_own"].at[pos].set(is_own, mode="drop")
-        s_new["e_ob"] = s["e_ob"].at[pos].set(s["own_any"], mode="drop")
+        s_new["e_f"] = s["e_f"].at[:, pos].set(
+            jnp.stack([length, x_e, s["A"]]), mode="drop")
+        s_new["e_i"] = s["e_i"].at[:, pos].set(
+            jnp.stack([cc, s["slot"]]), mode="drop")
+        s_new["e_b"] = s["e_b"].at[:, pos].set(
+            jnp.stack([is_own, s["own_any"]]), mode="drop")
         s_new["e_ptr"] = (s["e_ptr"]
                           + jnp.sum(rec.astype(jnp.int32))).astype(jnp.int32)
 
@@ -405,7 +393,7 @@ def pool_march(
         own_new = s["own_any"] | (rec & is_own)
         # persist x_own into the record (phase 2 reads it per record)
         ridp = jnp.where(rec & is_own, s["slot"] % R, R)
-        s_new["rec_xown"] = s["rec_xown"].at[ridp].add(
+        s_new["rec_f"] = s["rec_f"].at[RF_XOWN, ridp].add(
             jnp.where(rec & is_own, x_e, 0.0), mode="drop")
 
         if use_walls:
@@ -457,59 +445,54 @@ def pool_march(
             I_child = I_exit
             split_now = act & go_high
 
-        # spawn 4 children per split lane
+        # spawn 4 children per split lane: ONE batched (4*NR) scatter per
+        # record matrix instead of 17 per child
         n_h = jnp.sum(split_now.astype(jnp.int32))
         hrank = jnp.cumsum(split_now.astype(jnp.int32)) - 1
         base = s["rptr"] + 4 * hrank
-        child_nside = 2 * s["rec_nside"][jnp.where(split_now, s["slot"] % R, 0)]
+        pslot = jnp.where(split_now, s["slot"] % R, 0)
+        child_nside = 2 * s["rec_i"][RI_NSIDE, pslot]
         iold = jnp.clip(s["isel_old"], 0, 2)
         dsel = _sel3(iold, s["dx"], s["dy"], s["dz"])
         dplane_now = jnp.where(s["isel_old"] >= 0, s["prev"] * dsel, 0.0)
-        parent_ipix = s["rec_ipix"][jnp.where(split_now, s["slot"] % R, 0)]
-        for k in range(4):
-            cid = jnp.where(split_now, (base + k) % R, R)
-            cpix = 4 * parent_ipix + k
-            cth, cph = hp._pix2ang_nest_impl(
-                jnp.maximum(child_nside, 1), cpix
-            )
-            s_new["rec_th"] = s_new["rec_th"].at[cid].set(
-                cth.astype(fdtype), mode="drop")
-            s_new["rec_ph"] = s_new["rec_ph"].at[cid].set(
-                cph.astype(fdtype), mode="drop")
-            s_new["rec_sx"] = s_new["rec_sx"].at[cid].set(s["lsx"], mode="drop")
-            s_new["rec_sy"] = s_new["rec_sy"].at[cid].set(s["lsy"], mode="drop")
-            s_new["rec_sz"] = s_new["rec_sz"].at[cid].set(s["lsz"], mode="drop")
-            s_new["rec_beam"] = s_new["rec_beam"].at[cid].set(
-                4.0 * jnp.pi / (12.0 * child_nside.astype(fdtype) ** 2),
-                mode="drop")
-            s_new["rec_csn"] = s_new["rec_csn"].at[cid].set(s["lcsn"], mode="drop")
-            s_new["rec_prev0"] = s_new["rec_prev0"].at[cid].set(s["prev"], mode="drop")
-            s_new["rec_ownb"] = s_new["rec_ownb"].at[cid].set(s["lownb"], mode="drop")
-            s_new["rec_xown"] = s_new["rec_xown"].at[cid].set(
-                jnp.zeros((NR,), fdtype), mode="drop")
-            s_new["rec_I0"] = s_new["rec_I0"].at[cid].set(I_child, mode="drop")
-            s_new["rec_nc"] = s_new["rec_nc"].at[cid].set(nc, mode="drop")
-            s_new["rec_ipix"] = s_new["rec_ipix"].at[cid].set(cpix, mode="drop")
-            s_new["rec_nside"] = s_new["rec_nside"].at[cid].set(
-                child_nside, mode="drop")
-            s_new["rec_isel"] = s_new["rec_isel"].at[cid].set(
-                s["isel_old"], mode="drop")
-            s_new["rec_flags"] = s_new["rec_flags"].at[cid].set(
-                jnp.zeros((NR,), jnp.int32), mode="drop")
-            s_new["rec_src"] = s_new["rec_src"].at[cid].set(
-                s["rec_src"][jnp.where(split_now, s["slot"] % R, 0)],
-                mode="drop")
+        parent_ipix = s["rec_i"][RI_IPIX, pslot]
+
+        k4 = jnp.arange(4, dtype=jnp.int32)[:, None]  # (4, 1)
+        cid = jnp.where(split_now[None, :], (base[None, :] + k4) % R, R)
+        cpix = 4 * parent_ipix[None, :] + k4  # (4, NR)
+        ns4 = jnp.broadcast_to(child_nside[None, :], (4, NR))
+        cth, cph = hp._pix2ang_nest_impl(
+            jnp.maximum(ns4.reshape(-1), 1), cpix.reshape(-1)
+        )
+        B4 = lambda a: jnp.broadcast_to(a[None, :], (4, NR)).reshape(-1)
+        child_f = jnp.stack([
+            cth.astype(fdtype), cph.astype(fdtype),
+            B4(s["lsx"]), B4(s["lsy"]), B4(s["lsz"]),
+            (4.0 * jnp.pi / (12.0 * ns4.astype(fdtype) ** 2)).reshape(-1),
+            B4(s["lcsn"]), B4(s["prev"]), B4(s["lownb"]),
+            jnp.zeros((4 * NR,), fdtype),
+        ])  # (NF, 4*NR) in RF_* order
+        child_i = jnp.stack([
+            B4(nc), cpix.reshape(-1), ns4.reshape(-1), B4(s["isel_old"]),
+            jnp.zeros((4 * NR,), jnp.int32),
+            B4(s["rec_i"][RI_SRC, pslot]),
+        ])  # (NI, 4*NR) in RI_* order
+        cidf = cid.reshape(-1)
+        s_new["rec_f"] = s_new["rec_f"].at[:, cidf].set(child_f, mode="drop")
+        s_new["rec_i"] = s_new["rec_i"].at[:, cidf].set(child_i, mode="drop")
+        s_new["rec_I0"] = s_new["rec_I0"].at[cidf].set(
+            jnp.broadcast_to(I_child[None], (4, NR, L)).reshape(-1, L),
+            mode="drop")
         s_new["rptr"] = (s["rptr"] + 4 * n_h).astype(jnp.int32)
 
         # --- blocked-low export (merge candidates) --------------------
         low_now = act & go_low
         lrank = jnp.cumsum(low_now.astype(jnp.int32)) - 1
         lpos = jnp.where(low_now, s["bl_ptr"] + lrank, B_CAP)
-        s_new["bl_rec"] = s["bl_rec"].at[lpos].set(s["slot"], mode="drop")
-        s_new["bl_prev"] = s["bl_prev"].at[lpos].set(s["prev"], mode="drop")
-        s_new["bl_cc"] = s["bl_cc"].at[lpos].set(cc, mode="drop")
-        s_new["bl_isel"] = s["bl_isel"].at[lpos].set(s["isel_old"], mode="drop")
-        s_new["bl_dpl"] = s["bl_dpl"].at[lpos].set(dplane_now, mode="drop")
+        s_new["bl_fm"] = s["bl_fm"].at[:, lpos].set(
+            jnp.stack([s["prev"], dplane_now]), mode="drop")
+        s_new["bl_im"] = s["bl_im"].at[:, lpos].set(
+            jnp.stack([s["slot"], cc, s["isel_old"]]), mode="drop")
         s_new["bl_I"] = s["bl_I"].at[lpos].set(I_exit, mode="drop")
         s_new["bl_ptr"] = (s["bl_ptr"]
                            + jnp.sum(low_now.astype(jnp.int32))).astype(jnp.int32)
@@ -606,22 +589,20 @@ def pool_march(
         e = i * C + jnp.arange(C, dtype=jnp.int32)
         ok = e < E_used
         ee = jnp.clip(e, 0, E - 1)
-        cc_e = jnp.clip(out["e_cc"][ee], 0, grid.n_cells - 1)
-        len_e = out["e_len"][ee]
-        x_e = out["e_x"][ee]
-        A_e = out["e_A"][ee]
-        rec_e = out["e_rec"][ee] % R
-        own_e = out["e_own"][ee]
-        ob_e = out["e_ob"][ee]
+        ef = out["e_f"][:, ee]
+        ei = out["e_i"][:, ee]
+        eb = out["e_b"][:, ee]
+        cc_e = jnp.clip(ei[0], 0, grid.n_cells - 1)
+        len_e, x_e, A_e = ef[0], ef[1], ef[2]
+        rec_e = ei[1] % R
+        own_e, ob_e = eb[0], eb[1]
         ok = ok & (len_e > 0)
 
         I0_e = out["rec_I0"][rec_e]  # (C, L)
-        csn_e = out["rec_csn"][rec_e]
-        beam_e = out["rec_beam"][rec_e]
-        if point_source:
-            xo_e = out["rec_xown"][rec_e]
-        else:
-            xo_e = out["rec_ownb"][rec_e]
+        rf_e = out["rec_f"][:, rec_e]
+        csn_e = rf_e[RF_CSN]
+        beam_e = rf_e[RF_BEAM]
+        xo_e = rf_e[RF_XOWN] if point_source else rf_e[RF_OWNB]
         y_own = kext_norm[None, :] * xo_e[:, None]
         sm_o = y_own < 1e-8
         y_safe = jnp.where(sm_o, 1.0, y_own)
