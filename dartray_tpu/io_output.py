@@ -216,29 +216,47 @@ def write_psel_av(files: OutputFiles, stats: dict, lambda_um):
 def check_memory(grid_ncell: int, L: int, scfg=None, n_dir: int = 0,
                  safety: float = 1.2) -> dict:
     """Pre-flight memory estimate (check_memory, io_routines.f90:3540-3607):
-    scaspe + field bytes vs available device/host memory.  Returns the
-    estimate dict; raises MemoryError when the projected footprint exceeds
-    the available bytes."""
+    scaspe + field bytes vs available accelerator memory.  The arrays are
+    device-resident, so the bound is the accelerator's memory when one is
+    present (jax device memory_stats); the host /proc/meminfo value is only
+    a proxy fallback.  Raises MemoryError when the projected footprint
+    exceeds the *device* limit; the host-RAM proxy only warns (it can both
+    falsely pass and falsely fail for a TPU run)."""
     field_b = 3 * grid_ncell * L * 8  # u_fest, u_final, delta
     scaspe_b = scfg.nbytes(grid_ncell) * 2 if scfg is not None else 0
     iobs_b = grid_ncell * max(n_dir, 1) * L * 8
     need = int((field_b + scaspe_b + iobs_b) * safety)
     avail = None
+    on_device = False
     try:
-        with open("/proc/meminfo") as f:
-            for line in f:
-                if line.startswith("MemAvailable"):
-                    avail = int(line.split()[1]) * 1024
-                    break
-    except OSError:
+        import jax
+
+        dev = jax.local_devices()[0]
+        ms = dev.memory_stats() if hasattr(dev, "memory_stats") else None
+        if ms and ms.get("bytes_limit"):
+            avail = ms["bytes_limit"] - ms.get("bytes_in_use", 0)
+            on_device = True
+    except Exception:
         pass
+    if avail is None:
+        try:
+            with open("/proc/meminfo") as f:
+                for line in f:
+                    if line.startswith("MemAvailable"):
+                        avail = int(line.split()[1]) * 1024
+                        break
+        except OSError:
+            pass
     est = dict(field_bytes=field_b, scaspe_bytes=scaspe_b, iobs_bytes=iobs_b,
                total_bytes=need, available_bytes=avail)
     if avail is not None and need > avail:
-        raise MemoryError(
-            f"projected memory {need/2**30:.1f} GiB exceeds available "
-            f"{avail/2**30:.1f} GiB (check_memory)"
-        )
+        msg = (f"projected memory {need/2**30:.1f} GiB exceeds available "
+               f"{avail/2**30:.1f} GiB (check_memory)")
+        if on_device:
+            raise MemoryError(msg)
+        import warnings
+
+        warnings.warn(msg + " [host-RAM proxy; no accelerator stats]")
     return est
 
 

@@ -198,7 +198,7 @@ def run_field_stage(
         and mesh is None
         and getattr(phys, "dens_lambda", None) is None
         and src_lum_fn is None
-        and _os.environ.get("DARTRAY_POOL")
+        and _os.environ.get("DARTRAY_POOL", "0") not in ("", "0", "false", "False")
     ):
         from . import march_pool as MP
 

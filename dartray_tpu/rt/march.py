@@ -731,10 +731,13 @@ def march(grid, dens_ref, kext_norm, albedo, u_fest, u_accum, rays, **kw):
     remains available with DARTRAY_FAST_MARCH=1 and for equivalence
     tests; the lambda-grid density path always runs lock-step.
     """
+    def _flag(name):
+        return os.environ.get(name, "0") not in ("", "0", "false", "False")
+
     use_legacy = (
         kw.get("dens_lambda") is not None
-        or os.environ.get("DARTRAY_LEGACY_MARCH")
-        or not os.environ.get("DARTRAY_FAST_MARCH")
+        or _flag("DARTRAY_LEGACY_MARCH")
+        or not _flag("DARTRAY_FAST_MARCH")
         # the fast path materializes (max_steps, NR) trace buffers in the
         # deposit modes; unchunked calls stay on the lock-step kernel
         or (kw.get("mode", 0) <= MODE_DIRECT

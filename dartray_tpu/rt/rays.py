@@ -108,7 +108,7 @@ def fresh_launch(src_pos, src_cell, src_idx, lum, nside=NSIDE_MIN, pix_subset=No
         ipix=tile(pix),
         theta=tile(theta),
         phi=tile(phi),
-        lum=rep(np.asarray(lum)),
+        lum=_repeat(lum, npix),  # device lum stays on device
         prev=np.zeros(ns * npix),
         cc_old=rep(np.asarray(src_cell)),
         isel_old=np.full(ns * npix, -1, dtype=np.int64),

@@ -232,6 +232,91 @@ class ScaspeConfig:
             out[:, b.lam_idx] = np.asarray(s)[cells, b.npix_hp + j, :] * b.npix_hp
         return out
 
+    def dev_ops(self) -> "ScaspeDevOps":
+        """Device-side read helpers (cached); see ScaspeDevOps."""
+        ops = getattr(self, "_dev_ops", None)
+        if ops is None:
+            ops = ScaspeDevOps(self)
+            object.__setattr__(self, "_dev_ops", ops)
+        return ops
+
+
+class ScaspeDevOps:
+    """On-device scaspe reads for the scattering iterations.
+
+    The round-3 profile showed the scattering stage host-bound: every
+    launch packet ran assign_src_lum as numpy fancy-indexing over a full
+    host copy of scaspe (and each iteration copied the whole scaspe
+    device->host).  Here the scaspe tuple stays device-resident; the only
+    per-iteration transfers are the (L,) convergence totals and one
+    (ncell,) per-cell sum for source selection, and per launch packet a
+    small (n,)+(nb,n) int upload for the gather indices
+    (assign_src_lum, rt_routines.f90:3043-3071)."""
+
+    def __init__(self, scfg: "ScaspeConfig"):
+        self.scfg = scfg
+        idx = np.concatenate([b.lam_idx for b in scfg.buckets])
+        inv = np.argsort(idx).astype(np.int32)
+        nhp = tuple(b.npix_hp for b in scfg.buckets)
+
+        @jax.jit
+        def _lumcell(scaspe, leaf):
+            cols = [
+                jnp.sum(s[:, :h, :], axis=1) for s, h in zip(scaspe, nhp)
+            ]
+            lc = jnp.concatenate(cols, axis=1)[:, inv]
+            lc = lc * leaf[:, None]
+            return lc, jnp.sum(lc, axis=0), jnp.sum(lc, axis=1)
+
+        self._lumcell = _lumcell
+
+        @jax.jit
+        def _gather(scaspe, cells, pixs):
+            outs = [
+                s[cells, pixs[k], :] * h
+                for k, (s, h) in enumerate(zip(scaspe, nhp))
+            ]
+            return jnp.concatenate(outs, axis=1)[:, inv]
+
+        self._gather = _gather
+
+    def lumcell(self, scaspe: tuple, leaf_dev):
+        """(lumcell (ncell,L) dev, per-λ totals (L,) dev, per-cell sums
+        (ncell,) dev), leaf-masked."""
+        return self._lumcell(scaspe, leaf_dev)
+
+    def src_lum(self, scaspe: tuple, cells, theta, phi):
+        """Device (n, L) launch luminosity for scattered rays: the scaspe
+        value at the ray direction times npix_hp."""
+        from . import rays as R
+
+        cells = np.asarray(cells)
+        n = len(cells)
+        m = R._bucket(n)
+        cells_p = np.zeros(m, dtype=np.int32)
+        cells_p[:n] = cells
+        pixs = np.zeros((len(self.scfg.buckets), m), dtype=np.int32)
+        for k, b in enumerate(self.scfg.buckets):
+            if b.kp >= 0:
+                pixs[k, :n] = hp.np_ang2pix_nest(b.nside, theta, phi)
+        out = self._gather(scaspe, jnp.asarray(cells_p), jnp.asarray(pixs))
+        return out[:n]
+
+    def obs_lum(self, scaspe: tuple, cells, j: int):
+        """Device (n, L) luminosity toward appended observer direction j."""
+        from . import rays as R
+
+        cells = np.asarray(cells)
+        n = len(cells)
+        m = R._bucket(n)
+        cells_p = np.zeros(m, dtype=np.int32)
+        cells_p[:n] = cells
+        pixs = np.stack(
+            [np.full(m, b.npix_hp + j, dtype=np.int32) for b in self.scfg.buckets]
+        )
+        out = self._gather(scaspe, jnp.asarray(cells_p), jnp.asarray(pixs))
+        return out[:n]
+
 
 @dataclasses.dataclass
 class ScatteringResult:
@@ -291,18 +376,23 @@ def run_scattering(
     scaspe_tot = scaspe_prev
     u = jnp.asarray(u_final, dtype=fdtype)
 
-    # total scattered luminosity at iteration 1 (rt_routines.f90:675-695)
-    tot_rad_en = scfg.lumcell(scaspe_prev).sum(axis=0)
-
     leaf = np.asarray(grid.leaf_mask())
+    leaf_dev = jnp.asarray(leaf, dtype=fdtype)
+    ops = scfg.dev_ops()
+
+    # total scattered luminosity at iteration 1 (rt_routines.f90:675-695)
+    _, tot0_dev, _ = ops.lumcell(scaspe_prev, jnp.ones_like(leaf_dev))
+    tot_rad_en = np.asarray(tot0_dev, dtype=np.float64)
+
     converged = False
     it = 0
     while it < max_iterations:
         it += 1
-        # per-cell escaping luminosity (lumcell, rt:697-708)
-        lumcell = scfg.lumcell(scaspe_prev)
-        lumcell[~leaf] = 0.0
-        tot_lumcell = lumcell.sum(axis=0)
+        # per-cell escaping luminosity (lumcell, rt:697-708); scaspe stays
+        # on device — only the (L,) totals and the (ncell,) per-cell sums
+        # come to host (round-3 copied the full scaspe per iteration)
+        lc_dev, totl_dev, percell_dev = ops.lumcell(scaspe_prev, leaf_dev)
+        tot_lumcell = np.asarray(totl_dev, dtype=np.float64)
         if tot_rad_en.sum() <= 0:
             converged = True
             break
@@ -311,7 +401,7 @@ def run_scattering(
             converged = True
             break
 
-        sel = np.flatnonzero(lumcell.sum(axis=1) > 0)
+        sel = np.flatnonzero(np.asarray(percell_dev) > 0)
         if sym is not None:
             passes = [
                 (np.intersect1d(sel, sym.src_octant), True),
@@ -320,13 +410,10 @@ def run_scattering(
         else:
             passes = [(sel, False)]
 
-        # one host copy per iteration: assign_src_lum reads it per launch
-        # packet (copying the device scaspe per packet would dominate)
-        scaspe_prev_np = ScaspeConfig.asarray(scaspe_prev)
-
         def src_lum_fn(d, nside):
-            return scfg.assign_src_lum(
-                scaspe_prev_np, d["src_cell"], d["theta"], d["phi"]
+            # on-device scaspe gather (assign_src_lum, rt:3043-3071)
+            return ops.src_lum(
+                scaspe_prev, d["src_cell"], d["theta"], d["phi"]
             )
 
         scaspe_new = scfg.zeros(grid.n_cells, fdtype)
@@ -338,7 +425,7 @@ def run_scattering(
                 pos=np.asarray(grid.ccoord)[sel_p],
                 cell=sel_p,
                 sid=sel_p,
-                lum=lumcell[sel_p],  # placeholder; per-ray from scaspe_prev
+                lum=lc_dev[jnp.asarray(sel_p)],  # placeholder; per-ray from scaspe_prev
                 point=False,
             )
             u_base = u if symmetrize else None
