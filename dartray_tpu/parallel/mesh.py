@@ -76,7 +76,7 @@ _BATCH_SPECS = M.RayBatch(
 
 
 def make_stage_march(mesh: Mesh, grid: Grid, n_buckets: int, **static_kw):
-    """Sharded march for the production field stages (P1 + P6 semantics).
+    """Sharded march for the production field stages (P1 + P6 + P3).
 
     Rays are split over the mesh 'rays' axis; every device accumulates
     deposits into its OWN full replica of the field (and scaspe) held as a
@@ -85,19 +85,42 @@ def make_stage_march(mesh: Mesh, grid: Grid, n_buckets: int, **static_kw):
     collective runs per round; the engine sums the slabs ONCE per stage
     (stage_reduce), which XLA lowers to a single all-reduce over ICI.
 
+    When the mesh also has a 'wave' axis (P3, prepare_scaspe_splitting
+    rt_routines.f90:2855-2965), the scaspe slabs' wavelength axis is
+    sharded across it: every (rays, wave) device traces its ray shard over
+    ALL wavelengths (the u math is identical across 'wave', exactly like
+    the reference where every rank traces full-spectrum rays) but deposits
+    only its local wavelength columns — per-device scaspe memory shrinks
+    by the 'wave' size instead of being replicated.  The per-bucket
+    wavelength tables (g, lam_idx, mask) are then passed per call, padded
+    by the engine to a multiple of the 'wave' size.
+
     Returns fn(dens_ref, kext_norm, albedo, u_fest, u_slab, batch, beam_i,
-    can_merge[, scaspe_slabs]) -> (u_slab', MarchResult[, scaspe_slabs'])
-    where u_slab is (ndev, ncell, L) sharded on axis 0.
+    can_merge[, scaspe_slabs, scaspe_g, scaspe_lam_idx, scaspe_lam_mask])
+    -> (u_slab', MarchResult[, scaspe_slabs']) where u_slab is
+    (ndev, ncell, L) sharded on axis 0.
     """
     ndev = mesh.shape["rays"]
+    has_wave = "wave" in mesh.axis_names and mesh.shape["wave"] > 1
+    # per-wavelength scaspe tables travel as (sharded) call args, not as
+    # replicated closure constants, when the wave axis is active
+    static_kw = dict(static_kw)
+    for k in ("scaspe_g", "scaspe_lam_idx", "scaspe_lam_mask"):
+        static_kw.pop(k, None)
 
     def local(dens_ref, kext_norm, albedo, u_fest, u_slab, b, beam_i,
-              can_merge, scaspe_slabs):
+              can_merge, scaspe_slabs, sc_g, sc_idx, sc_mask):
+        kw = static_kw
+        if n_buckets:
+            kw = dict(
+                static_kw,
+                scaspe_accum=tuple(s[0] for s in scaspe_slabs),
+                scaspe_g=sc_g, scaspe_lam_idx=sc_idx,
+                scaspe_lam_mask=sc_mask,
+            )
         out = M.march(
             grid, dens_ref, kext_norm, albedo, u_fest, u_slab[0], b,
-            beam_i=beam_i, allow_block=can_merge,
-            **(dict(static_kw, scaspe_accum=tuple(s[0] for s in scaspe_slabs))
-               if n_buckets else static_kw),
+            beam_i=beam_i, allow_block=can_merge, **kw,
         )
         if n_buckets:
             u, res, scaspe = out
@@ -110,12 +133,17 @@ def make_stage_march(mesh: Mesh, grid: Grid, n_buckets: int, **static_kw):
             res.n_steps[None], res.lum_lost[None],
         ) + sc_out
 
-    sc_specs = tuple(P("rays") for _ in range(n_buckets))
+    lam_spec = P("wave") if has_wave else P()
+    sc_specs = tuple(
+        P("rays", None, None, "wave") if has_wave else P("rays")
+        for _ in range(n_buckets)
+    )
+    lam_specs = tuple(lam_spec for _ in range(n_buckets))
     f = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P("rays"), _BATCH_SPECS, P("rays"),
-                  P("rays"), sc_specs),
+                  P("rays"), sc_specs, lam_specs, lam_specs, lam_specs),
         out_specs=(P("rays"), P("rays", None), P(None, "rays"),
                    P(None, "rays"), P("rays"), P("rays")) + sc_specs,
         check_vma=False,
@@ -123,14 +151,16 @@ def make_stage_march(mesh: Mesh, grid: Grid, n_buckets: int, **static_kw):
 
     @jax.jit
     def run(dens_ref, kext_norm, albedo, u_fest, u_slab, batch, beam_i,
-            can_merge, scaspe_slabs=()):
+            can_merge, scaspe_slabs=(), scaspe_g=(), scaspe_lam_idx=(),
+            scaspe_lam_mask=()):
         NR = batch.n
         if NR % ndev or NR // ndev < kext_norm.shape[0]:
             raise ValueError(
                 f"batch of {NR} rays not shardable over {ndev} devices"
             )
         out = f(dens_ref, kext_norm, albedo, u_fest, u_slab, batch, beam_i,
-                can_merge, scaspe_slabs)
+                can_merge, scaspe_slabs, scaspe_g, scaspe_lam_idx,
+                scaspe_lam_mask)
         u_slab2, lum, pi, pf, n_steps, lum_lost = out[:6]
         steps_tot = jnp.sum(n_steps)
         lost_tot = jnp.sum(lum_lost, axis=0)

@@ -212,9 +212,16 @@ def run_field_stage(
     if fdtype is None:
         fdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     if pool_max is None:
-        # the scattering deposit path carries (NR, P, L) HG weights: keep
-        # the assembled batch smaller there
-        pool_max = R.POOL_MAX if scaspe_cfg is None else R.POOL_MAX // 4
+        # the scattering deposit path carries (NR, P, L) HG weight buffers;
+        # cap the batch so ffn stays ~100 MB (P_tot ~ sum of bucket
+        # npix_tot * L_k; 753 for the TRUST stellar range)
+        pool_max = R.POOL_MAX
+        if scaspe_cfg is not None:
+            ptot = sum(
+                b.npix_tot * len(b.lam_idx) for b in scaspe_cfg.buckets
+            )
+            cap = max(1 << 14, int((200 << 20) / (4 * max(ptot, 1))))
+            pool_max = min(pool_max, 1 << (cap.bit_length() - 1))
     npix0 = 12 * R.NSIDE_MIN * R.NSIDE_MIN
     if chunk is None:
         chunk = max(1, pool_max // npix0)
@@ -227,21 +234,58 @@ def run_field_stage(
         u_fest = jnp.zeros((grid.n_cells, L), dtype=fdtype)
     scaspe = scaspe_init
     ndev = 0
+    nwave = 1
+    sc_g_call = sc_idx_call = sc_mask_call = ()
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as _P
 
         ndev = mesh.shape["rays"]
+        if "wave" in mesh.axis_names:
+            nwave = mesh.shape["wave"]
+        has_wave = nwave > 1
         slab_sh = NamedSharding(mesh, _P("rays"))
         repl_sh = NamedSharding(mesh, _P())
 
-        def _slab(x):
+        def _slab(x, spec=None):
             x = jnp.asarray(x, dtype=fdtype)
             z = jnp.zeros((ndev,) + x.shape, dtype=fdtype).at[0].set(x)
-            return jax.device_put(z, slab_sh)
+            return jax.device_put(
+                z, slab_sh if spec is None else NamedSharding(mesh, spec)
+            )
 
         u = _slab(u)
         u_fest = jax.device_put(jnp.asarray(u_fest, dtype=fdtype), repl_sh)
-        if scaspe is not None:
+        if scaspe is not None and scaspe_cfg is not None:
+            # P3 wavelength sharding (prepare_scaspe_splitting,
+            # rt_routines.f90:2855-2965): pad each bucket's lambda axis to
+            # a multiple of the 'wave' size and shard it across that axis;
+            # padded columns carry mask 0 so they deposit nothing
+            gsca_np = np.asarray(phys.gsca)
+            padded, g_l, idx_l, mask_l = [], [], [], []
+            for b, s in zip(scaspe_cfg.buckets, scaspe):
+                Lk = len(b.lam_idx)
+                Lp = -(-Lk // nwave) * nwave
+                pad = Lp - Lk
+                s = jnp.asarray(s, dtype=fdtype)
+                if s.shape[-1] == Lk and pad:
+                    s = jnp.pad(s, ((0, 0), (0, 0), (0, pad)))
+                padded.append(s)
+                g_l.append(jnp.asarray(
+                    np.pad(gsca_np[b.lam_idx], (0, pad)), dtype=fdtype))
+                idx_l.append(jnp.asarray(
+                    np.pad(b.lam_idx, (0, pad)), dtype=jnp.int32))
+                mask_l.append(jnp.asarray(
+                    np.pad(np.ones(Lk), (0, pad)), dtype=fdtype))
+            sc_spec = (
+                _P("rays", None, None, "wave") if has_wave else _P("rays")
+            )
+            lam_sh = NamedSharding(
+                mesh, _P("wave") if has_wave else _P())
+            scaspe = tuple(_slab(s, sc_spec) for s in padded)
+            sc_g_call = tuple(jax.device_put(g, lam_sh) for g in g_l)
+            sc_idx_call = tuple(jax.device_put(i, lam_sh) for i in idx_l)
+            sc_mask_call = tuple(jax.device_put(m, lam_sh) for m in mask_l)
+        elif scaspe is not None:
             scaspe = tuple(_slab(s) for s in scaspe)
     lum_lost = np.zeros(L)
     stats: dict = {}
@@ -303,6 +347,7 @@ def run_field_stage(
                 u, res, scaspe = runf(
                     dens_ref, kext_norm, albedo, u_fest, u, batch,
                     beam_i, can_merge, scaspe,
+                    sc_g_call, sc_idx_call, sc_mask_call,
                 )
             else:
                 u, res = runf(
@@ -346,6 +391,13 @@ def run_field_stage(
         u = PM.stage_reduce(u)
         if scaspe is not None:
             scaspe = tuple(PM.stage_reduce(s) for s in scaspe)
+            if scaspe_cfg is not None and nwave > 1:
+                # drop the P3 lambda-padding columns (zero by mask)
+                scaspe = tuple(
+                    s[..., : len(b.lam_idx)] if s.shape[-1] != len(b.lam_idx)
+                    else s
+                    for s, b in zip(scaspe, scaspe_cfg.buckets)
+                )
 
     return StageResult(u=u, lum_lost=lum_lost, stats=stats, scaspe=scaspe)
 

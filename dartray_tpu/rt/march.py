@@ -177,6 +177,8 @@ def march_legacy(
     scaspe_g=None,  # tuple of (L_k,) HG asymmetry per bucket wavelength
     scaspe_npix_hp=None,  # static tuple of ints: HEALPix pixels per bucket
     scaspe_lam_idx=None,  # tuple of (L_k,) int32 wavelength indices per bucket
+    scaspe_lam_mask=None,  # tuple of (L_k,) 0/1 weights: zero for padded
+    #                        wavelength columns (lambda-sharded scaspe, P3)
     scaspe_accum=None,  # tuple of (ncell, P_k, L_k) accumulators
     nav=None,  # (ncell*6, NAV_W) int32 face-neighbour table (octree.build_nav_table)
     dens_lambda=None,  # (ncell, L): per-wavelength extinction coefficient
@@ -244,21 +246,24 @@ def march_legacy(
         # (rt:2258-2266); a single-pixel bucket (isotropic lambdas) gets a
         # uniform weight of 1 (rt:2270).
         ffn = []
-        for dirs_k, g_k, nhp_k in zip(scaspe_dirs, scaspe_g, scaspe_npix_hp):
+        for kb, (dirs_k, g_k, nhp_k) in enumerate(
+            zip(scaspe_dirs, scaspe_g, scaspe_npix_hp)
+        ):
             if nhp_k <= 1:
-                ffn.append(
-                    jnp.ones((NR, dirs_k.shape[0], g_k.shape[0]), dtype=fdtype)
-                )
-                continue
-            dk = dirs_k.astype(fdtype)
-            ads = (dx[:, None] * dk[None, :, 0] + dy[:, None] * dk[None, :, 1]
-                   + dz[:, None] * dk[None, :, 2])  # (NR, P_k)
-            g = g_k.astype(fdtype)[None, None, :]  # (1, 1, L_k)
-            w = (1.0 - g**2) / nhp_k * (
-                1.0 + g**2 - 2.0 * g * ads[:, :, None]
-            ) ** (-1.5)
-            tot = jnp.sum(w[:, :nhp_k, :], axis=1, keepdims=True)
-            ffn.append(w / jnp.maximum(tot, 1e-300))
+                w = jnp.ones((NR, dirs_k.shape[0], g_k.shape[0]), dtype=fdtype)
+            else:
+                dk = dirs_k.astype(fdtype)
+                ads = (dx[:, None] * dk[None, :, 0] + dy[:, None] * dk[None, :, 1]
+                       + dz[:, None] * dk[None, :, 2])  # (NR, P_k)
+                g = g_k.astype(fdtype)[None, None, :]  # (1, 1, L_k)
+                w = (1.0 - g**2) / nhp_k * (
+                    1.0 + g**2 - 2.0 * g * ads[:, :, None]
+                ) ** (-1.5)
+                tot = jnp.sum(w[:, :nhp_k, :], axis=1, keepdims=True)
+                w = w / jnp.maximum(tot, 1e-300)
+            if scaspe_lam_mask is not None:
+                w = w * scaspe_lam_mask[kb].astype(fdtype)[None, None, :]
+            ffn.append(w)
         ffn = tuple(ffn)
 
     sx = rays.src_pos[:, 0].astype(fdtype)
@@ -723,36 +728,13 @@ def march_legacy(
 def march(grid, dens_ref, kext_norm, albedo, u_fest, u_accum, rays, **kw):
     """Advance every ray to completion (exit / kill / block).
 
-    The lock-step kernel is the default: on TPU it measures faster than
-    the two-phase kernel (march_fast) for the pool-round sizes the engine
-    uses (148k vs 94-103k rays/s on the TRUST I direct stage — the
-    two-phase (max_steps, NR) trace buffers and flat-deposit regrouping
-    cost more than the per-step row gathers they save).  march_fast
-    remains available with DARTRAY_FAST_MARCH=1 and for equivalence
-    tests; the lambda-grid density path always runs lock-step.
+    The lock-step kernel serves every round-driver call; the
+    device-resident persistent-pool kernel (rt.march_pool) covers the
+    scaspe-less field stages.  (A third, two-phase kernel — march_fast —
+    was removed in round 4: it measured slower than lock-step on TPU,
+    94-103k vs 148k rays/s, and had no test coverage.)
     """
-    def _flag(name):
-        return os.environ.get(name, "0") not in ("", "0", "false", "False")
-
-    use_legacy = (
-        kw.get("dens_lambda") is not None
-        or _flag("DARTRAY_LEGACY_MARCH")
-        or not _flag("DARTRAY_FAST_MARCH")
-        # the fast path materializes (max_steps, NR) trace buffers in the
-        # deposit modes; unchunked calls stay on the lock-step kernel
-        or (kw.get("mode", 0) <= MODE_DIRECT
-            and int(kw.get("max_steps", 100000)) > 4096)
-    )
-    if use_legacy:
-        return march_legacy(
-            grid, dens_ref, kext_norm, albedo, u_fest, u_accum, rays, **kw
-        )
-    from .march_fast import march_fast
-
-    kw.pop("dens_lambda", None)
-    if "max_steps" in kw:
-        kw["max_steps"] = int(kw["max_steps"])
-    return march_fast(
+    return march_legacy(
         grid, dens_ref, kext_norm, albedo, u_fest, u_accum, rays, **kw
     )
 

@@ -54,6 +54,7 @@ from .march import (
     _level_select,
     _sel3,
 )
+from .rays import NSIDE_MIN
 
 NR_DEFAULT = 8192  # pool lanes
 K_MAX = 512  # loop iterations per kernel call
@@ -152,6 +153,17 @@ def _min_live(state):
     slot = state["slot"]
     live = jnp.where(slot >= 0, slot, jnp.iinfo(jnp.int32).max)
     return jnp.minimum(jnp.min(live), state["qhead"])
+
+
+@jax.jit
+def _status(state):
+    """Packed driver status: ONE device->host transfer per driver loop
+    (each separate scalar readback costs a full tunnel round trip)."""
+    n_act = jnp.sum((state["slot"] >= 0).astype(jnp.int32))
+    return jnp.stack([
+        state["rptr"], state["qhead"], state["bl_ptr"], n_act,
+        _min_live(state), state["n_steps"],
+    ])
 
 
 @partial(
@@ -298,7 +310,8 @@ def pool_march(
             # leftovers that failed a full merge pass deposit instead of
             # re-blocking at the same plane forever (the reference's ladder
             # reaches the nside floor and stops blocking, rt:2494)
-            lcm=u(s["lcm"], (gi[RI_NSIDE] > 8) & ((flags & F_NOMERGE) == 0)),
+            lcm=u(s["lcm"], (gi[RI_NSIDE] > 2 * NSIDE_MIN)
+                  & ((flags & F_NOMERGE) == 0)),
             lsc=u(s["lsc"], cc_i),  # start cell: flag_beam holds until left
             qhead=(s["qhead"] + n_take).astype(jnp.int32),
         )
@@ -309,7 +322,14 @@ def pool_march(
     def cond(s):
         has_work = jnp.any(s["slot"] >= 0) | (s["qhead"] < s["rptr"])
         room_e = s["e_ptr"] <= E - NR
-        room_r = (s["rptr"] + 4 * NR - _min_live(s)) < R
+        # ring-liveness bound: a record stays live while an active lane, an
+        # un-evaluated deposit entry (phase 2 reads rec_I0/rec_f) or a
+        # blocked-low export row (host _gather_bl reads it after the call)
+        # still references it — not just the pending window qhead..rptr
+        live_min = jnp.minimum(
+            jnp.minimum(_min_live(s), s["e_min"]), s["bl_min"]
+        )
+        room_r = (s["rptr"] + 4 * NR - live_min) < R
         room_b = s["bl_ptr"] <= B_CAP - NR
         return has_work & room_e & room_r & room_b & (s["it"] < k_max)
 
@@ -386,6 +406,9 @@ def pool_march(
             jnp.stack([is_own, s["own_any"]]), mode="drop")
         s_new["e_ptr"] = (s["e_ptr"]
                           + jnp.sum(rec.astype(jnp.int32))).astype(jnp.int32)
+        imax = jnp.iinfo(jnp.int32).max
+        s_new["e_min"] = jnp.minimum(
+            s["e_min"], jnp.min(jnp.where(rec, s["slot"], imax)))
 
         # separable-intensity accumulators
         A_new = s["A"] + jnp.where(rec & ~is_own, x_e, 0.0)
@@ -496,6 +519,8 @@ def pool_march(
         s_new["bl_I"] = s["bl_I"].at[lpos].set(I_exit, mode="drop")
         s_new["bl_ptr"] = (s["bl_ptr"]
                            + jnp.sum(low_now.astype(jnp.int32))).astype(jnp.int32)
+        s_new["bl_min"] = jnp.minimum(
+            s["bl_min"], jnp.min(jnp.where(low_now, s["slot"], imax)))
 
         # --- advance to the next cell ---------------------------------
         fsel = _sel3(isel, fx, fy, fz)
@@ -573,9 +598,16 @@ def pool_march(
         )
         return s_new
 
-    state = dict(state, it=jnp.zeros((), jnp.int32))
+    imax32 = jnp.iinfo(jnp.int32).max
+    state = dict(
+        state, it=jnp.zeros((), jnp.int32),
+        e_min=jnp.asarray(imax32, jnp.int32),
+        bl_min=jnp.asarray(imax32, jnp.int32),
+    )
     out = jax.lax.while_loop(cond, body, state)
     out.pop("it")
+    out.pop("e_min")
+    out.pop("bl_min")
 
     # ====================================================================
     # phase 2: closed-form deposits over the recorded flat entries
@@ -794,10 +826,13 @@ def run_pool_stage(
     last_progress = (-1, -1)
     bl_stash: list = []
     bl_nsides: list = []
+    min_live = 0  # logical id of the oldest record any live lane references
     while True:
-        # top up the record ring from the launch stream
+        # top up the record ring from the launch stream; gate on the oldest
+        # LIVE record (active lanes keep reading their record across calls
+        # — rptr-qhead alone can wrap the ring over one, advisor r3 #1)
         while pending_launch is not None:
-            free = rcap - (int(state["rptr"]) - int(state["qhead"]))
+            free = rcap - (int(state["rptr"]) - min_live)
             n_l = len(pending_launch["src_cell"])
             if n_l * 2 > free:
                 break
@@ -807,8 +842,8 @@ def run_pool_stage(
         u, state = pool_march(
             grid, dens_ref, kext_norm, albedo, u_fest, u, state, **kw
         )
-
-        n_bl = int(state["bl_ptr"])
+        st = np.asarray(_status(state))
+        n_bl = int(st[2])
         if n_bl:
             # stash the blocked-low export; merging waits for the drain
             # point so every sibling of a quad is present (run_rounds'
@@ -824,8 +859,9 @@ def run_pool_stage(
             bl_nsides.append(g["nside"])
             state["bl_ptr"] = jnp.zeros((), jnp.int32)
 
-        pend = int(state["rptr"]) - int(state["qhead"])
-        n_act = int(jnp.sum((state["slot"] >= 0).astype(jnp.int32)))
+        pend = int(st[0]) - int(st[1])
+        n_act = int(st[3])
+        min_live = int(st[4])
         if pend == 0 and n_act == 0 and bl_stash and pending_launch is None:
             # drain point: merge the accumulated blocked-low rays; the
             # unmergeable leftovers re-launch as no-merge recos
@@ -850,16 +886,17 @@ def run_pool_stage(
                               nomerge=np.ones(nr_, dtype=bool)))
                     stats["reco"] = stats.get("reco", 0) + nr_
             pend = int(state["rptr"]) - int(state["qhead"])
+            min_live = int(state["qhead"])
         if pend == 0 and n_act == 0 and pending_launch is None and not bl_stash:
             break
         if pend == 0 and n_act == 0 and pending_launch is not None:
             # ring was too full for the next launch packet; force it now
             push(pending_launch)
             pending_launch = next(gen, None)
-        progress = (int(state["qhead"]), int(state["n_steps"]))
+        progress = (int(st[1]), int(st[5]))
         if _dbg:
             print(f"# pool {guard}: t={_time.time()-_t0:.1f}s qh={progress[0]} "
-                  f"rptr={int(state['rptr'])} act={n_act} steps={progress[1]} "
+                  f"rptr={int(st[0])} act={n_act} steps={progress[1]} "
                   f"bl={n_bl}", flush=True)
         if progress == last_progress and n_bl == 0:
             raise RuntimeError(

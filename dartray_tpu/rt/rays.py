@@ -18,6 +18,7 @@ commute), so the batching changes nothing but the summation order.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, Dict, List
 
 import numpy as np
@@ -363,7 +364,11 @@ def collect_blocked(d: dict, res: MarchResult, status: int) -> Blocked:
 # the outcome back into the queue — a few large calls instead of hundreds
 # of small ones.
 
-POOL_MAX = 1 << 16  # rays per assembled march call
+# rays per assembled march call.  The TPU hot loop is per-op-overhead
+# bound, not bandwidth bound (RUNS/r4/measure1.log: marginal cost/iteration
+# grows ~1.5x when NR grows 4x), so bigger pools are nearly free throughput;
+# the cap bounds the (NR, P, L) scaspe ffn buffers.
+POOL_MAX = int(os.environ.get("DARTRAY_POOL_MAX", str(1 << 17)))
 _POOL_FIELDS = (
     "src_pos", "src_cell", "src_idx", "ipix", "theta", "phi", "lum",
     "prev", "cc_old", "isel_old", "dplane", "fresh", "seen_other", "nside",

@@ -51,8 +51,10 @@ def main():
     src = E.point_source_set(grid, trustI.STAR_POS[None, :], np.ones((1, L)))
     fdtype = jnp.float32
 
-    # realistic batch: NR rays from the point source at nside 128
+    # realistic batch: NR rays from the point source
     nside = 128
+    while 12 * nside * nside < NR:
+        nside *= 2
     pix = np.arange(12 * nside * nside)
     rng = np.random.default_rng(0)
     pix = rng.choice(pix, size=NR, replace=False)

@@ -117,3 +117,63 @@ def test_sharded_full_pipeline(setup):
     np.testing.assert_allclose(
         res8.i_obs, i1, rtol=1e-8, atol=np.max(i1) * 1e-11
     )
+
+
+def test_wave_sharded_scaspe_matches_single(setup):
+    """P3 lambda sharding (prepare_scaspe_splitting, rt_routines.f90:
+    2855-2965): a (rays=2, wave=4) mesh shards each scaspe bucket's
+    wavelength axis over 'wave'; results match the single-device run and
+    the in-stage per-device scaspe shard holds ~1/4 of the columns."""
+    grid, phys, src, L = setup
+    mesh = PM.make_mesh(2, 4)
+    scfg = SC.ScaspeConfig.make(1, np.asarray(phys.gsca), None)
+
+    kw = dict(
+        mode=M.MODE_DIRECT, en_lim=1e-12, bm_par=3.0, bm_par_max=30.0,
+        chunk=8, scaspe_cfg=scfg,
+    )
+    r1 = E.run_field_stage(grid, phys, src,
+                           scaspe_init=scfg.zeros(grid.n_cells, jnp.float64),
+                           **kw)
+    rw = E.run_field_stage(grid, phys, src, mesh=mesh,
+                           scaspe_init=scfg.zeros(grid.n_cells, jnp.float64),
+                           **kw)
+    np.testing.assert_allclose(
+        np.asarray(rw.u), np.asarray(r1.u), rtol=1e-10,
+        atol=float(np.max(np.asarray(r1.u))) * 1e-13,
+    )
+    for a, b in zip(rw.scaspe, r1.scaspe):
+        b = np.asarray(b)
+        assert np.asarray(a).shape == b.shape  # padding sliced off
+        np.testing.assert_allclose(
+            np.asarray(a), b, rtol=1e-9, atol=float(b.max()) * 1e-12
+        )
+
+
+def test_wave_sharded_scattering_matches_single(setup):
+    """Full scattering iterations with the lambda-sharded scaspe."""
+    grid, phys, src, L = setup
+    mesh = PM.make_mesh(2, 4)
+    scfg = SC.ScaspeConfig.make(1, np.asarray(phys.gsca), None)
+    kw = dict(
+        mode=M.MODE_DIRECT, en_lim=1e-12, bm_par=3.0, bm_par_max=30.0,
+        chunk=8, scaspe_cfg=scfg,
+    )
+    r1 = E.run_field_stage(grid, phys, src,
+                           scaspe_init=scfg.zeros(grid.n_cells, jnp.float64),
+                           **kw)
+    skw = dict(conv_en_lim=0.05, en_lim=1e-12, bm_par_sca=2.0,
+               bm_par_max=30.0, max_iterations=2, chunk=8)
+    s1 = SC.run_scattering(grid, phys, scfg, r1.scaspe, r1.u, **skw)
+    sw = SC.run_scattering(grid, phys, scfg, r1.scaspe, r1.u, mesh=mesh,
+                           **skw)
+    assert sw.iterations == s1.iterations
+    u1 = np.asarray(s1.u_final)
+    np.testing.assert_allclose(
+        np.asarray(sw.u_final), u1, rtol=1e-8, atol=u1.max() * 1e-11
+    )
+    for a, b in zip(sw.scaspe_tot, s1.scaspe_tot):
+        b = np.asarray(b)
+        np.testing.assert_allclose(
+            np.asarray(a), b, rtol=1e-8, atol=float(b.max()) * 1e-11
+        )
