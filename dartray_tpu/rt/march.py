@@ -363,7 +363,12 @@ def march_legacy(
         state["trace_lengths"] = jnp.zeros((NR, trace_steps), dtype=fdtype)
         state["trace_count"] = jnp.zeros((NR,), dtype=jnp.int32)
     if collect_en_sca:
-        state["scaspe"] = scaspe_accum
+        # accumulate FLAT (ncell, P_k*L_k): the 2-D scatter-add lowers to
+        # the fast row-scatter path on TPU; the 3-D (ncell, P, L) form was
+        # ~20x slower per iteration (RUNS/r4/measure2.log)
+        state["scaspe"] = tuple(
+            s.reshape(s.shape[0], -1) for s in scaspe_accum
+        )
 
     start_cell = cc  # cc_new in the reference: blocking exempt while inside
 
@@ -503,9 +508,11 @@ def march_legacy(
             en_sca = jnp.where(do_dep[:, None], en_sca, 0.0)
             # per-bucket deposit: scaspe_k[cell, pix, lam] +=
             #   en_sca[ray, lam in bucket] * ffn_k[ray, pix, lam]
+            # (flattened to a 2-D row scatter, see state init)
             s_scaspe = tuple(
                 sk.at[ccs].add(
-                    ffn_k * jnp.take(en_sca, idx_k, axis=1)[:, None, :]
+                    (ffn_k * jnp.take(en_sca, idx_k, axis=1)[:, None, :])
+                    .reshape(NR, -1)
                 )
                 for sk, ffn_k, idx_k in zip(s["scaspe"], ffn, scaspe_lam_idx)
             )
@@ -721,7 +728,11 @@ def march_legacy(
         packed_all=packed_all,
     )
     if collect_en_sca:
-        return out["u"], res, out["scaspe"]
+        scaspe_out = tuple(
+            s.reshape(s.shape[0], a.shape[1], a.shape[2])
+            for s, a in zip(out["scaspe"], scaspe_accum)
+        )
+        return out["u"], res, scaspe_out
     return out["u"], res
 
 

@@ -194,12 +194,13 @@ def _to_batch(d, L, pad_to=None, fdtype=jnp.float64):
 
 
 def _bucket(n, minimum=1024, factor=4):
-    """Round up to minimum * factor^k (bounds the number of jit
-    specializations; each distinct batch size costs a ~10 s march compile
-    on the remote TPU, so fewer/coarser buckets beat tighter padding)."""
+    """Round up to minimum * factor^k, factor 2 above 64k (bounds the
+    number of jit specializations; each distinct batch size costs a ~10 s
+    march compile on the remote TPU, so fewer/coarser buckets beat tighter
+    padding — but 4x padding at 100k+ rays wastes real iteration time)."""
     m = minimum
     while m < n:
-        m *= factor
+        m *= factor if m < (1 << 16) else 2
     return m
 
 

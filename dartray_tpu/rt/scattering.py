@@ -451,19 +451,11 @@ def run_scattering(
             if symmetrize:
                 from . import symmetry as SYM
 
-                u = jnp.asarray(
-                    SYM.fix_symmetry_u(u, sym, base=np.asarray(u_base)),
-                    dtype=fdtype,
-                )
-                delta = tuple(
-                    np.asarray(a) - np.asarray(b)
-                    for a, b in zip(scaspe_new, scaspe_base)
-                )
-                fixed = SYM.fix_symmetry_scaspe(delta, scfg, perms, sym)
-                scaspe_new = tuple(
-                    jnp.asarray(np.asarray(b) + f, dtype=fdtype)
-                    for b, f in zip(scaspe_base, fixed)
-                )
+                # device-resident symmetrization (round-3 weak #5: the
+                # per-pass numpy round-trip dominated at scale)
+                sdev = SYM.dev_ops(sym, perms)
+                u = sdev.fix_u(u, jnp.asarray(u_base, dtype=fdtype))
+                scaspe_new = sdev.fix_scaspe_delta(scaspe_new, scaspe_base)
                 lum_lost += 8.0 * r.lum_lost
             else:
                 lum_lost += r.lum_lost

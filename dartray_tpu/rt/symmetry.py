@@ -175,6 +175,76 @@ def fix_symmetry_u(u, sym: SymmetryMaps, base=None):
     return out
 
 
+class DeviceSymmetry:
+    """Device-resident symmetrization (fix_symmetry_part3,
+    rt_routines.f90:3802-4080): the per-pass numpy round-trip of
+    fix_symmetry_u / fix_symmetry_scaspe becomes jitted gathers +
+    index-sets, so 2D scattering iterations never copy the field or the
+    scaspe to the host."""
+
+    def __init__(self, sym: SymmetryMaps, perms=None):
+        import jax
+        import jax.numpy as jnp
+
+        p = jnp.asarray(sym.primary, dtype=jnp.int32)
+        links = jnp.asarray(sym.links, dtype=jnp.int32)  # (P, 7)
+        perms_d = None
+        if perms is not None:
+            perms_d = [
+                None if pm is None else jnp.asarray(pm, dtype=jnp.int32)
+                for pm in perms
+            ]
+
+        @jax.jit
+        def _fix_u(u, base):
+            d = u - base
+            tot = d[p] + jnp.sum(d[links], axis=1)
+            out = d.at[p].set(tot)
+            for m in range(7):
+                out = out.at[links[:, m]].set(tot)
+            return out + base
+
+        self._fix_u = _fix_u
+
+        @jax.jit
+        def _fix_scaspe(scaspe, scaspe_base):
+            outs = []
+            for k, (s_new, s_base) in enumerate(zip(scaspe, scaspe_base)):
+                s = s_new - s_base
+                pm = perms_d[k] if perms_d is not None else None
+                tot = s[p]
+                if pm is None:
+                    for m in range(7):
+                        tot = tot + s[links[:, m]]
+                    out = s.at[p].set(tot)
+                    for m in range(7):
+                        out = out.at[links[:, m]].set(tot)
+                else:
+                    for m in range(7):
+                        tot = tot + s[links[:, m]][:, pm[m], :]
+                    out = s.at[p].set(tot)
+                    for m in range(7):
+                        out = out.at[links[:, m]].set(tot[:, pm[m], :])
+                outs.append(out + s_base)
+            return tuple(outs)
+
+        self._fix_scaspe = _fix_scaspe
+
+    def fix_u(self, u, base):
+        return self._fix_u(u, base)
+
+    def fix_scaspe_delta(self, scaspe_new, scaspe_base):
+        return self._fix_scaspe(tuple(scaspe_new), tuple(scaspe_base))
+
+
+def dev_ops(sym: SymmetryMaps, perms=None) -> DeviceSymmetry:
+    ops = getattr(sym, "_dev_ops", None)
+    if ops is None:
+        ops = DeviceSymmetry(sym, perms)
+        object.__setattr__(sym, "_dev_ops", ops)
+    return ops
+
+
 def fix_symmetry_scaspe(scaspe, scfg, perms, sym: SymmetryMaps):
     """Symmetrize the per-bucket scattering source function after pass A
     (fix_symmetry_part2 scaspe block, rt_routines.f90:3711-3795).
