@@ -13,9 +13,9 @@ Rebuild of the dust-emission core of sed_routines.f90:
 * calc_dens_dustem_equ (sed:431-504): per-species/per-size equilibrium
   emission integrated over the grain size distributions.
 
-The stochastic ('sto'/'sto_lib') modes are planned follow-ups (transition
-matrices are embarrassingly parallel per cell/bin and map to batched
-matmuls).
+The stochastic ('sto'/'sto_lib') modes live in sto.py (full P(T) solve,
+Gaussian f(E) approximation, transition matrices as batched matmuls,
+radiation-field binning for the sto_lib library mode).
 """
 from __future__ import annotations
 
