@@ -25,6 +25,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: repeat bench runs skip the ~60-75 s warm-up
+    # (round-3 weak #6); harmless no-op if the backend doesn't support it
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.join(ROOT, "RUNS", "jax_cache")
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
     from dartray_tpu.config import RTConfig
     from dartray_tpu.wavelength import make_wavelength_grid, read_lambda_list
     from dartray_tpu import dust as D

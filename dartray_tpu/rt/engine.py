@@ -194,10 +194,8 @@ def run_field_stage(
     import os as _os
 
     if (
-        scaspe_cfg is None
-        and mesh is None
+        mesh is None
         and getattr(phys, "dens_lambda", None) is None
-        and src_lum_fn is None
         and _os.environ.get("DARTRAY_POOL", "0") not in ("", "0", "false", "False")
     ):
         from . import march_pool as MP
@@ -206,7 +204,8 @@ def run_field_stage(
             grid, phys, sources, mode=mode, u_fest=u_fest, u_init=u_init,
             en_lim=en_lim, rad_lim=rad_lim, bm_par=bm_par,
             bm_par_max=bm_par_max, wall_lo=wall_lo, wall_hi=wall_hi,
-            chunk=chunk, fdtype=fdtype,
+            chunk=chunk, fdtype=fdtype, scaspe_cfg=scaspe_cfg,
+            scaspe_init=scaspe_init, src_lum_fn=src_lum_fn,
         )
     L = phys.kext_norm.shape[0]
     if fdtype is None:

@@ -38,6 +38,7 @@ continuation rounds).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import numpy as np
@@ -56,10 +57,10 @@ from .march import (
 )
 from .rays import NSIDE_MIN
 
-NR_DEFAULT = 8192  # pool lanes
+NR_DEFAULT = 16384  # pool lanes (RUNS/ROUND3_NOTES.md fix #2)
 K_MAX = 512  # loop iterations per kernel call
 E_CAP_FACTOR = 64  # entry buffer = E_CAP_FACTOR * NR
-B_CAP = 1 << 14  # blocked-low export rows per call
+B_CAP_MIN = 1 << 14  # blocked-low export rows per call (>= 2*NR)
 
 
 # record float rows (rec_f) / int rows (rec_i): ONE scatter per push/spawn
@@ -100,8 +101,11 @@ def make_state(grid: Grid, L: int, NR: int = NR_DEFAULT, R: int = 1 << 16,
         e_b=z((2, E), bool),
         e_ptr=jnp.zeros((), jnp.int32),
         # blocked-low export (rows: prev, dpl | rec, cc, isel)
-        bl_fm=z((2, B_CAP), fdtype), bl_im=z((3, B_CAP), jnp.int32),
-        bl_I=z((B_CAP, L), fdtype),
+        bl_fm=z((2, max(B_CAP_MIN, 2 * NR)), fdtype),
+        # rows: rec, cc, isel, is_high (blocked-HIGH rays divert here when
+        # the record ring has no spawn room; the host splits them)
+        bl_im=z((4, max(B_CAP_MIN, 2 * NR)), jnp.int32),
+        bl_I=z((max(B_CAP_MIN, 2 * NR), L), fdtype),
         bl_ptr=jnp.zeros((), jnp.int32),
         # stats
         n_steps=jnp.zeros((), jnp.int32),
@@ -110,6 +114,11 @@ def make_state(grid: Grid, L: int, NR: int = NR_DEFAULT, R: int = 1 << 16,
     state["rec_f"] = z((NF, R), fdtype)
     state["rec_i"] = z((NI, R), jnp.int32)
     state["rec_I0"] = z((R, L), fdtype)
+    # own-cell reference-depth accumulator, SEPARATE from rec_f: chaining
+    # a row-indexed .at[].add with a column .at[].set on the same array in
+    # one loop iteration miscompiles in XLA for update widths >= 4*8192
+    # (identical silent corruption on CPU and TPU; RUNS/r4 round-4 notes)
+    state["rec_xo"] = z((R,), fdtype)
     return state
 
 
@@ -127,6 +136,7 @@ def push_records(state, new_f, new_i, new_I0, n_new):
     state["rec_i"] = state["rec_i"].at[:, pos].set(new_i, mode="drop")
     state["rec_I0"] = state["rec_I0"].at[pos].set(
         new_I0.astype(state["rec_I0"].dtype), mode="drop")
+    state["rec_xo"] = state["rec_xo"].at[pos].set(0.0, mode="drop")
     state["rptr"] = state["rptr"] + n_new.astype(jnp.int32)
     return state
 
@@ -146,6 +156,7 @@ def _gather_bl(state):
         lum=state["bl_I"] * (4.0 * jnp.pi * gf[RF_CSN] ** 2)[:, None],
         prev=state["bl_fm"][0], cc=state["bl_im"][1],
         isel=state["bl_im"][2], dpl=state["bl_fm"][1],
+        high=state["bl_im"][3],
     )
 
 
@@ -168,7 +179,8 @@ def _status(state):
 
 @partial(
     jax.jit,
-    static_argnames=("mode", "point_source", "use_walls", "k_max"),
+    static_argnames=("mode", "point_source", "use_walls", "k_max",
+                     "scaspe_npix_hp"),
     donate_argnums=(5, 6),
 )
 def pool_march(
@@ -192,6 +204,11 @@ def pool_march(
     nav=None,
     use_walls: bool = False,
     k_max: int = K_MAX,
+    scaspe_accum=None,  # tuple of FLAT (ncell, P_k*L_k) accumulators
+    scaspe_dirs=None,  # tuple of (P_k, 3) direction unit vectors
+    scaspe_g=None,  # tuple of (L_k,) HG asymmetry per bucket
+    scaspe_npix_hp=None,  # STATIC tuple of ints
+    scaspe_lam_idx=None,  # tuple of (L_k,) int32 wavelength indices
 ):
     """One kernel call: march until K_MAX iterations / a buffer fills /
     all work drains, then evaluate every recorded deposit.  Returns
@@ -201,6 +218,7 @@ def pool_march(
     fdtype = state["prev"].dtype
     R = state["rec_f"].shape[1]
     E = state["e_f"].shape[1]
+    B_CAP = state["bl_fm"].shape[1]
     csize_lv_np = grid.csize_levels()
     n_fine = grid.n_fine
     max_lvl = grid.max_lvl
@@ -319,19 +337,22 @@ def pool_march(
 
     deposit_mode = True  # this kernel only serves the deposit modes
 
+    def _live_min(s):
+        # ring-liveness bound: a record stays live while an active lane, an
+        # un-evaluated deposit entry (phase 2 reads rec_I0/rec_f) or a
+        # blocked export row (host _gather_bl reads it after the call)
+        # still references it — not just the pending window qhead..rptr
+        return jnp.minimum(
+            jnp.minimum(_min_live(s), s["e_min"]), s["bl_min"]
+        )
+
     def cond(s):
         has_work = jnp.any(s["slot"] >= 0) | (s["qhead"] < s["rptr"])
         room_e = s["e_ptr"] <= E - NR
-        # ring-liveness bound: a record stays live while an active lane, an
-        # un-evaluated deposit entry (phase 2 reads rec_I0/rec_f) or a
-        # blocked-low export row (host _gather_bl reads it after the call)
-        # still references it — not just the pending window qhead..rptr
-        live_min = jnp.minimum(
-            jnp.minimum(_min_live(s), s["e_min"]), s["bl_min"]
-        )
-        room_r = (s["rptr"] + 4 * NR - live_min) < R
+        # no room_r term: when the ring lacks spawn room, blocked-high
+        # rays divert to the host export instead (guaranteed drain)
         room_b = s["bl_ptr"] <= B_CAP - NR
-        return has_work & room_e & room_r & room_b & (s["it"] < k_max)
+        return has_work & room_e & room_b & (s["it"] < k_max)
 
     def body(s):
         s = jax.lax.cond(
@@ -416,8 +437,11 @@ def pool_march(
         own_new = s["own_any"] | (rec & is_own)
         # persist x_own into the record (phase 2 reads it per record)
         ridp = jnp.where(rec & is_own, s["slot"] % R, R)
-        s_new["rec_f"] = s["rec_f"].at[RF_XOWN, ridp].add(
-            jnp.where(rec & is_own, x_e, 0.0), mode="drop")
+        # persist x_own into rec_xo with ONE combined scatter-add: the
+        # own-cell contributions plus a "reset to zero" of the slots about
+        # to hold spawned children (ring reuse leaves stale values there;
+        # the index sets are disjoint — children ids are fresh, own-adds
+        # target live lanes' records).  Deferred below once cidf is known.
 
         if use_walls:
             wall_hit = (
@@ -462,11 +486,19 @@ def pool_march(
                 axis=0,
             )
             I_child = jnp.where(killed_now, 0.0, I_exit)
-            split_now = act & sparse_term & jnp.any(I_child > 0, axis=-1) & ~wall_hit
-            gone = gone | (act & sparse_term & ~split_now)
+            split_req = act & sparse_term & jnp.any(I_child > 0, axis=-1) & ~wall_hit
+            gone = gone | (act & sparse_term & ~split_req)
         else:
             I_child = I_exit
-            split_now = act & go_high
+            split_req = act & go_high
+
+        # on-device spawn only while the ring has room for a worst-case
+        # iteration (4*NR children); otherwise the blocked-high rays are
+        # exported and the HOST spawns the children (rays.split_high) —
+        # the loop never deadlocks on a full ring
+        spawn_ok = (s["rptr"] + 4 * NR - _live_min(s)) < R
+        split_now = split_req & spawn_ok
+        divert_hi = split_req & ~spawn_ok
 
         # spawn 4 children per split lane: ONE batched (4*NR) scatter per
         # record matrix instead of 17 per child
@@ -507,20 +539,33 @@ def pool_march(
             jnp.broadcast_to(I_child[None], (4, NR, L)).reshape(-1, L),
             mode="drop")
         s_new["rptr"] = (s["rptr"] + 4 * n_h).astype(jnp.int32)
+        # the one rec_xo scatter-add: own-cell accumulation + child reset
+        # (reset expressed as add(-old) so the array sees a single
+        # scatter op per iteration — see make_state note)
+        cid_cl = jnp.clip(cidf, 0, R - 1)
+        xo_idx = jnp.concatenate([ridp, cidf])
+        xo_val = jnp.concatenate([
+            jnp.where(rec & is_own, x_e, 0.0),
+            jnp.where(cidf < R, -s["rec_xo"][cid_cl], 0.0),
+        ])
+        s_new["rec_xo"] = s["rec_xo"].at[xo_idx].add(xo_val, mode="drop")
 
-        # --- blocked-low export (merge candidates) --------------------
+        # --- blocked export: merge candidates + diverted highs --------
         low_now = act & go_low
-        lrank = jnp.cumsum(low_now.astype(jnp.int32)) - 1
-        lpos = jnp.where(low_now, s["bl_ptr"] + lrank, B_CAP)
+        exp_now = low_now | divert_hi
+        lrank = jnp.cumsum(exp_now.astype(jnp.int32)) - 1
+        lpos = jnp.where(exp_now, s["bl_ptr"] + lrank, B_CAP)
         s_new["bl_fm"] = s["bl_fm"].at[:, lpos].set(
             jnp.stack([s["prev"], dplane_now]), mode="drop")
         s_new["bl_im"] = s["bl_im"].at[:, lpos].set(
-            jnp.stack([s["slot"], cc, s["isel_old"]]), mode="drop")
-        s_new["bl_I"] = s["bl_I"].at[lpos].set(I_exit, mode="drop")
+            jnp.stack([s["slot"], cc, s["isel_old"],
+                       divert_hi.astype(jnp.int32)]), mode="drop")
+        s_new["bl_I"] = s["bl_I"].at[lpos].set(
+            jnp.where(divert_hi[:, None], I_child, I_exit), mode="drop")
         s_new["bl_ptr"] = (s["bl_ptr"]
-                           + jnp.sum(low_now.astype(jnp.int32))).astype(jnp.int32)
+                           + jnp.sum(exp_now.astype(jnp.int32))).astype(jnp.int32)
         s_new["bl_min"] = jnp.minimum(
-            s["bl_min"], jnp.min(jnp.where(low_now, s["slot"], imax)))
+            s["bl_min"], jnp.min(jnp.where(exp_now, s["slot"], imax)))
 
         # --- advance to the next cell ---------------------------------
         fsel = _sel3(isel, fx, fy, fz)
@@ -575,8 +620,8 @@ def pool_march(
             out_grid = (fnew_sel < 0) | (fnew_sel >= n_fine)
             cc_next, clvl_next = _descend(grid, fx_n, fy_n, fz_n)
 
-        finished = act & (split_now | low_now | gone
-                          | (out_grid & ~split_now & ~low_now & ~gone))
+        finished = act & (split_now | divert_hi | low_now | gone
+                          | (out_grid & ~split_req & ~low_now & ~gone))
         still = act & ~finished
 
         s_new.update(
@@ -616,8 +661,10 @@ def pool_march(
     C = 1 << 14
     nchunks = (E_used + C - 1) // C
     inv4pi = 1.0 / (4.0 * jnp.pi)
+    with_scaspe = scaspe_accum is not None
 
-    def chunk_body(i, u_c):
+    def chunk_body(i, carry):
+        u_c, scaspe_c = carry
         e = i * C + jnp.arange(C, dtype=jnp.int32)
         ok = e < E_used
         ee = jnp.clip(e, 0, E - 1)
@@ -634,7 +681,7 @@ def pool_march(
         rf_e = out["rec_f"][:, rec_e]
         csn_e = rf_e[RF_CSN]
         beam_e = rf_e[RF_BEAM]
-        xo_e = rf_e[RF_XOWN] if point_source else rf_e[RF_OWNB]
+        xo_e = out["rec_xo"][rec_e] if point_source else rf_e[RF_OWNB]
         y_own = kext_norm[None, :] * xo_e[:, None]
         sm_o = y_own < 1e-8
         y_safe = jnp.where(sm_o, 1.0, y_own)
@@ -661,10 +708,68 @@ def pool_march(
         csz_e = _level_select(lvl_e, csize_lv_np, fdtype)
         du = i_av * (len_e / csz_e**3 / cs * csn_e**2 * beam_e)[:, None]
         du = jnp.where(ok[:, None], du, 0.0)
-        return u_c.at[cc_e].add(du)
+        u_c = u_c.at[cc_e].add(du)
 
-    u_accum = jax.lax.fori_loop(0, nchunks, chunk_body, u_accum)
+        if with_scaspe:
+            # scattered energy of the intersection (process_scatt_rad,
+            # rt_routines.f90:2638-2726; same formulas as march_legacy's
+            # collect_en_sca path) deposited with per-RECORD HG weights —
+            # the ray direction is constant along a record, so ffn comes
+            # from the record's (theta, phi) per entry chunk
+            en_ext = jnp.where(sm_e, I_e * tau_e,
+                               I_e * (1.0 - jnp.exp(-tau_e)))
+            if point_source:
+                y_o = kext_norm[None, :] * x_e[:, None]
+            else:
+                y_o = kext_norm[None, :] * rf_e[RF_OWNB][:, None]
+            sm_o2 = y_o < 1e-8
+            y_o_safe = jnp.where(sm_o2, 1.0, y_o)
+            en_own = jnp.where(
+                sm_o2, I_e * y_o / 2.0,
+                I_e / y_o_safe * (jnp.exp(-y_o) + y_o - 1.0),
+            )
+            en = jnp.where(own_e[:, None], en_own, en_ext)
+            en = en * albedo.astype(fdtype)[None, :] * (
+                csn_e**2 * beam_e
+            )[:, None]
+            en = jnp.where(ok[:, None], en, 0.0)
+            th_e, ph_e = rf_e[RF_TH], rf_e[RF_PH]
+            st_e = jnp.sin(th_e)
+            dx_e = st_e * jnp.cos(ph_e)
+            dy_e = st_e * jnp.sin(ph_e)
+            dz_e = jnp.cos(th_e)
+            sc_out = []
+            for kb, (sk, dirs_k, g_k, nhp_k, idx_k) in enumerate(zip(
+                scaspe_c, scaspe_dirs, scaspe_g, scaspe_npix_hp,
+                scaspe_lam_idx,
+            )):
+                Pk = dirs_k.shape[0]
+                Lk = g_k.shape[0]
+                if nhp_k <= 1:
+                    w = jnp.ones((C, Pk, Lk), dtype=fdtype)
+                else:
+                    dk = dirs_k.astype(fdtype)
+                    ads = (dx_e[:, None] * dk[None, :, 0]
+                           + dy_e[:, None] * dk[None, :, 1]
+                           + dz_e[:, None] * dk[None, :, 2])  # (C, Pk)
+                    g = g_k.astype(fdtype)[None, None, :]
+                    w = (1.0 - g**2) / nhp_k * (
+                        1.0 + g**2 - 2.0 * g * ads[:, :, None]
+                    ) ** (-1.5)
+                    tot = jnp.sum(w[:, :nhp_k, :], axis=1, keepdims=True)
+                    w = w / jnp.maximum(tot, 1e-300)
+                val = w * jnp.take(en, idx_k, axis=1)[:, None, :]
+                sc_out.append(sk.at[cc_e].add(val.reshape(C, Pk * Lk)))
+            scaspe_c = tuple(sc_out)
+        return (u_c, scaspe_c)
+
+    u_accum, scaspe_accum = jax.lax.fori_loop(
+        0, nchunks, chunk_body,
+        (u_accum, tuple(scaspe_accum) if with_scaspe else ()),
+    )
     out["e_ptr"] = jnp.zeros((), jnp.int32)
+    if with_scaspe:
+        return u_accum, out, scaspe_accum
     return u_accum, out
 
 
@@ -732,12 +837,19 @@ def run_pool_stage(
     stats: dict = None,
     nr: int = NR_DEFAULT,
     rcap: int = None,
+    scaspe_cfg=None,  # scattering.ScaspeConfig: enables scaspe deposits
+    scaspe_init=None,  # tuple of (ncell, P_k, L_k) accumulators
+    src_lum_fn=None,  # (launch_dict, nside) -> (n, L) luminosity override
 ):
-    """Field stage (precalc/direct, no scaspe) on the persistent pool.
+    """Field stage (precalc/direct) on the persistent pool.
 
-    Drop-in equivalent of engine.run_field_stage for scaspe-less stages:
-    same sources/physics contract, same deposits, same ladder semantics
-    (in-loop splits; host merges via rays.merge_low between kernel calls).
+    Drop-in equivalent of engine.run_field_stage: same sources/physics
+    contract, same deposits, same ladder semantics (in-loop splits; host
+    merges via rays.merge_low between kernel calls).  With scaspe_cfg the
+    phase-2 pass also deposits the HG-weighted scattered energy
+    (process_scatt_rad) into flat per-bucket accumulators, and src_lum_fn
+    supplies the launch luminosities (the scattering stage's
+    assign_src_lum reads of the previous scaspe).
     """
     from . import rays as R_
     from .engine import StageResult, grid_nav
@@ -772,8 +884,10 @@ def run_pool_stage(
     state = make_state(grid, L, NR=nr, R=rcap, fdtype=fdtype)
 
     npix0 = 12 * R_.NSIDE_MIN * R_.NSIDE_MIN
-    if chunk is None:
-        chunk = max(1, (rcap // 4) // npix0)
+    # the ring bounds memory, so launch packets can be large regardless of
+    # the caller's round-driver chunk (each push costs a dispatch round
+    # trip; bigger packets = fewer pushes)
+    chunk = max(chunk or 1, (rcap // 4) // npix0)
 
     def push(d):
         nonlocal state
@@ -806,14 +920,38 @@ def run_pool_stage(
         wall_hi=tuple(float(w) for w in wall_hi),
         nav=grid_nav(grid), use_walls=use_walls,
     )
+    scaspe = None
+    if scaspe_cfg is not None:
+        # flat (ncell, P_k*L_k) accumulators (2-D row scatters)
+        src0 = (scaspe_init if scaspe_init is not None
+                else scaspe_cfg.zeros(grid.n_cells, fdtype))
+        scaspe = tuple(
+            jnp.asarray(s, dtype=fdtype).reshape(grid.n_cells, -1)
+            for s in src0
+        )
+        kw.update(
+            scaspe_dirs=tuple(jnp.asarray(b.dirs, dtype=fdtype)
+                              for b in scaspe_cfg.buckets),
+            scaspe_g=tuple(
+                jnp.asarray(np.asarray(phys.gsca)[b.lam_idx], dtype=fdtype)
+                for b in scaspe_cfg.buckets
+            ),
+            scaspe_npix_hp=tuple(b.npix_hp for b in scaspe_cfg.buckets),
+            scaspe_lam_idx=scaspe_cfg.lam_idx_tuple(),
+        )
 
     def launches():
         for c0 in range(0, sources.n, chunk):
             hi = min(c0 + chunk, sources.n)
-            yield R_.fresh_launch(
+            d = R_.fresh_launch(
                 sources.pos[c0:hi], sources.cell[c0:hi],
                 np.arange(c0, hi), sources.lum[c0:hi],
             )
+            if src_lum_fn is not None:
+                d = dict(d, nside=np.full(len(d["src_cell"]), R_.NSIDE_MIN,
+                                          dtype=np.int64))
+                d["lum"] = np.asarray(src_lum_fn(d, d["nside"]))
+            yield d
 
     import os as _os
     import time as _time
@@ -832,32 +970,60 @@ def run_pool_stage(
         # LIVE record (active lanes keep reading their record across calls
         # — rptr-qhead alone can wrap the ring over one, advisor r3 #1)
         while pending_launch is not None:
-            free = rcap - (int(state["rptr"]) - min_live)
+            # reserve the kernel's 4*NR in-loop spawn margin (cond's
+            # room_r), else a full ring makes the loop a no-op forever
+            free = rcap - (int(state["rptr"]) - min_live) - 5 * nr
             n_l = len(pending_launch["src_cell"])
             if n_l * 2 > free:
                 break
             push(pending_launch)
             pending_launch = next(gen, None)
 
-        u, state = pool_march(
-            grid, dens_ref, kext_norm, albedo, u_fest, u, state, **kw
-        )
+        if scaspe is not None:
+            u, state, scaspe = pool_march(
+                grid, dens_ref, kext_norm, albedo, u_fest, u, state,
+                scaspe_accum=scaspe, **kw
+            )
+        else:
+            u, state = pool_march(
+                grid, dens_ref, kext_norm, albedo, u_fest, u, state, **kw
+            )
         st = np.asarray(_status(state))
         n_bl = int(st[2])
         if n_bl:
-            # stash the blocked-low export; merging waits for the drain
-            # point so every sibling of a quad is present (run_rounds'
-            # global batching has the same property)
+            # gather the export; HIGH rows (ring-full diverted splits) are
+            # re-spawned on the host immediately, LOW rows stash until the
+            # drain point so every sibling of a merge quad is present
+            # (run_rounds' global batching has the same property)
             g = {k: np.asarray(v)[:n_bl] for k, v in _gather_bl(state).items()}
-            bl_stash.append(R_.Blocked(
+            state["bl_ptr"] = jnp.zeros((), jnp.int32)
+            hi = g.pop("high").astype(bool)
+            nsides_g = g.pop("nside")
+            blk_all = R_.Blocked(
                 src_pos=np.stack([g["sx"], g["sy"], g["sz"]], axis=1),
                 src_cell=g["nc"], src_idx=g["src"], ipix=g["ipix"],
                 theta=g["th"], phi=g["ph"], lum=g["lum"],
                 prev=g["prev"], cc_old=g["cc"], isel_old=g["isel"],
                 dplane=g["dpl"],
-            ))
-            bl_nsides.append(g["nside"])
-            state["bl_ptr"] = jnp.zeros((), jnp.int32)
+            )
+
+            def _sub(mask):
+                return R_.Blocked(**{
+                    f.name: getattr(blk_all, f.name)[mask]
+                    for f in dataclasses.fields(R_.Blocked)
+                })
+
+            if hi.any():
+                for ns in np.unique(nsides_g[hi]):
+                    m = hi & (nsides_g == ns)
+                    ch = R_.split_high(_sub(m), int(ns))
+                    push(dict(ch, nside=np.full(
+                        4 * int(m.sum()), 2 * ns, dtype=np.int64)))
+                    stats["host_splits"] = stats.get("host_splits", 0) + int(
+                        m.sum())
+            if (~hi).any():
+                bl_stash.append(_sub(~hi))
+                bl_nsides.append(nsides_g[~hi])
 
         pend = int(st[0]) - int(st[1])
         n_act = int(st[3])
@@ -914,4 +1080,9 @@ def run_pool_stage(
     # matching run_rounds' ray accounting
     stats["rays"] = stats.get("rays", 0) + int(state["rptr"])
     lum_lost = np.asarray(state["lum_lost"], dtype=np.float64)
-    return StageResult(u=u, lum_lost=lum_lost, stats=stats, scaspe=None)
+    if scaspe is not None:
+        scaspe = tuple(
+            s.reshape(grid.n_cells, b.npix_tot, len(b.lam_idx))
+            for s, b in zip(scaspe, scaspe_cfg.buckets)
+        )
+    return StageResult(u=u, lum_lost=lum_lost, stats=stats, scaspe=scaspe)

@@ -365,11 +365,11 @@ def collect_blocked(d: dict, res: MarchResult, status: int) -> Blocked:
 # the outcome back into the queue — a few large calls instead of hundreds
 # of small ones.
 
-# rays per assembled march call.  The TPU hot loop is per-op-overhead
-# bound, not bandwidth bound (RUNS/r4/measure1.log: marginal cost/iteration
-# grows ~1.5x when NR grows 4x), so bigger pools are nearly free throughput;
-# the cap bounds the (NR, P, L) scaspe ffn buffers.
-POOL_MAX = int(os.environ.get("DARTRAY_POOL_MAX", str(1 << 17)))
+# rays per assembled march call.  65536 is the measured sweet spot of the
+# marginal cost/iteration curve (RUNS/r4: 0.23 ms @16k, 0.34 ms @65k,
+# ~1.5 ms @131k, 4.5 ms @262k — beyond 65k the per-iteration gather cost
+# grows faster than the ray count).
+POOL_MAX = int(os.environ.get("DARTRAY_POOL_MAX", str(1 << 16)))
 _POOL_FIELDS = (
     "src_pos", "src_cell", "src_idx", "ipix", "theta", "phi", "lum",
     "prev", "cc_old", "isel_old", "dplane", "fresh", "seen_other", "nside",
