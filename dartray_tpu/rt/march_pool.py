@@ -889,8 +889,10 @@ def run_pool_stage(
     # trip; bigger packets = fewer pushes)
     chunk = max(chunk or 1, (rcap // 4) // npix0)
 
+    rptr_host = 0  # mirror of state["rptr"], kept current across pushes
+
     def push(d):
-        nonlocal state
+        nonlocal state, rptr_host
         n = len(d["src_cell"])
         if n == 0:
             return
@@ -911,6 +913,7 @@ def run_pool_stage(
                 jnp.asarray(ipad), jnp.asarray(Ipad, dtype=fdtype),
                 jnp.asarray(w, dtype=jnp.int32),
             )
+        rptr_host += n
 
     kw = dict(
         mode=mode, point_source=sources.point, en_lim=float(en_lim),
@@ -964,20 +967,44 @@ def run_pool_stage(
     last_progress = (-1, -1)
     bl_stash: list = []
     bl_nsides: list = []
+    host_queue: list = []  # gated re-push work (split children/merged/reco)
     min_live = 0  # logical id of the oldest record any live lane references
-    while True:
-        # top up the record ring from the launch stream; gate on the oldest
-        # LIVE record (active lanes keep reading their record across calls
-        # — rptr-qhead alone can wrap the ring over one, advisor r3 #1)
-        while pending_launch is not None:
-            # reserve the kernel's 4*NR in-loop spawn margin (cond's
-            # room_r), else a full ring makes the loop a no-op forever
-            free = rcap - (int(state["rptr"]) - min_live) - 5 * nr
-            n_l = len(pending_launch["src_cell"])
-            if n_l * 2 > free:
+
+    def _dslice(d, a, b):
+        return {k: v[a:b] for k, v in d.items()}
+
+    def top_up():
+        """Push queued/launch packets while the ring has room.  EVERY push
+        is gated on the live window + the kernel's 4*NR spawn margin:
+        ungated pushes wrap the ring over pending records and silently
+        drop work (found as a ~2/3 energy deficit in the scattering
+        equivalence run, RUNS/r4)."""
+        nonlocal pending_launch
+        pushed = 0
+        while True:
+            free = rcap - (rptr_host - min_live) - 5 * nr
+            if host_queue:
+                d = host_queue[-1]
+                n_l = len(d["src_cell"])
+                if n_l <= free:
+                    push(host_queue.pop())
+                elif free >= PUSH_W:
+                    push(_dslice(d, 0, free))
+                    host_queue[-1] = _dslice(d, free, n_l)
+                else:
+                    break
+            elif pending_launch is not None:
+                if len(pending_launch["src_cell"]) * 2 > free:
+                    break
+                push(pending_launch)
+                pending_launch = next(gen, None)
+            else:
                 break
-            push(pending_launch)
-            pending_launch = next(gen, None)
+            pushed += 1
+        return pushed
+
+    while True:
+        top_up()
 
         if scaspe is not None:
             u, state, scaspe = pool_march(
@@ -989,6 +1016,7 @@ def run_pool_stage(
                 grid, dens_ref, kext_norm, albedo, u_fest, u, state, **kw
             )
         st = np.asarray(_status(state))
+        rptr_host = int(st[0])
         n_bl = int(st[2])
         if n_bl:
             # gather the export; HIGH rows (ring-full diverted splits) are
@@ -1017,7 +1045,7 @@ def run_pool_stage(
                 for ns in np.unique(nsides_g[hi]):
                     m = hi & (nsides_g == ns)
                     ch = R_.split_high(_sub(m), int(ns))
-                    push(dict(ch, nside=np.full(
+                    host_queue.append(dict(ch, nside=np.full(
                         4 * int(m.sum()), 2 * ns, dtype=np.int64)))
                     stats["host_splits"] = stats.get("host_splits", 0) + int(
                         m.sum())
@@ -1025,10 +1053,11 @@ def run_pool_stage(
                 bl_stash.append(_sub(~hi))
                 bl_nsides.append(nsides_g[~hi])
 
-        pend = int(st[0]) - int(st[1])
+        pend = rptr_host - int(st[1])
         n_act = int(st[3])
         min_live = int(st[4])
-        if pend == 0 and n_act == 0 and bl_stash and pending_launch is None:
+        idle = pend == 0 and n_act == 0 and not host_queue
+        if idle and bl_stash and pending_launch is None:
             # drain point: merge the accumulated blocked-low rays; the
             # unmergeable leftovers re-launch as no-merge recos
             blocked = R_.Blocked.concat(bl_stash)
@@ -1042,33 +1071,30 @@ def run_pool_stage(
                 })
                 merged, reco = R_.merge_low(sub, int(ns))
                 if merged is not None:
-                    push(dict(merged, nside=np.full(
+                    host_queue.append(dict(merged, nside=np.full(
                         len(merged["src_cell"]), ns // 2, dtype=np.int64)))
                     stats["merged"] = stats.get("merged", 0) + len(
                         merged["src_cell"])
                 if reco is not None:
                     nr_ = len(reco["src_cell"])
-                    push(dict(reco, nside=np.full(nr_, ns, dtype=np.int64),
-                              nomerge=np.ones(nr_, dtype=bool)))
+                    host_queue.append(
+                        dict(reco, nside=np.full(nr_, ns, dtype=np.int64),
+                             nomerge=np.ones(nr_, dtype=bool)))
                     stats["reco"] = stats.get("reco", 0) + nr_
-            pend = int(state["rptr"]) - int(state["qhead"])
-            min_live = int(state["qhead"])
-        if pend == 0 and n_act == 0 and pending_launch is None and not bl_stash:
+            idle = not host_queue
+        if idle and pending_launch is None:
             break
-        if pend == 0 and n_act == 0 and pending_launch is not None:
-            # ring was too full for the next launch packet; force it now
-            push(pending_launch)
-            pending_launch = next(gen, None)
-        progress = (int(st[1]), int(st[5]))
+        progress = (int(st[1]), int(st[5]), rptr_host)
         if _dbg:
             print(f"# pool {guard}: t={_time.time()-_t0:.1f}s qh={progress[0]} "
-                  f"rptr={int(st[0])} act={n_act} steps={progress[1]} "
-                  f"bl={n_bl}", flush=True)
+                  f"rptr={rptr_host} act={n_act} steps={progress[1]} "
+                  f"bl={n_bl} hq={sum(len(d['src_cell']) for d in host_queue)}",
+                  flush=True)
         if progress == last_progress and n_bl == 0:
             raise RuntimeError(
                 f"pool stage stalled: {pend} pending, {n_act} active, "
-                f"ring {rcap} too small for the live window — "
-                "raise rcap (run_pool_stage(rcap=...))"
+                f"{len(host_queue)} queued packets — ring {rcap} too small "
+                "for the live window; raise rcap (run_pool_stage(rcap=...))"
             )
         last_progress = progress
         guard += 1
