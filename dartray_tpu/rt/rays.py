@@ -316,9 +316,8 @@ def merge_low(blocked: Blocked, nside: int):
 def collect_rows(d: dict, res_h: MarchResult, sel) -> Blocked:
     """Extract the selected blocked rays into a host-side Blocked record
     (luminosity/prev taken at the blocking point).  `res_h` carries the
-    scalar outputs as ready numpy arrays (one device->host conversion per
-    round); only the (NR, L) luminosity is selected on-device."""
-    dsel = jnp.asarray(sel)
+    outputs as ready numpy arrays (bulk device->host conversions, once
+    per round)."""
     return Blocked(
         src_pos=np.asarray(d["src_pos"])[sel],
         src_cell=np.asarray(d["src_cell"])[sel],
@@ -326,7 +325,7 @@ def collect_rows(d: dict, res_h: MarchResult, sel) -> Blocked:
         ipix=np.asarray(d["ipix"])[sel],
         theta=np.asarray(d["theta"])[sel],
         phi=np.asarray(d["phi"])[sel],
-        lum=jnp.take(res_h.lum, dsel, axis=0),
+        lum=_take(res_h.lum, sel),
         prev=np.asarray(res_h.prev)[sel],
         cc_old=np.asarray(res_h.cc)[sel],
         isel_old=np.asarray(res_h.isel_old)[sel],
@@ -485,9 +484,9 @@ def run_rounds(
         # exits as soon as every ray finishes, so long chunks cost nothing
         small = n <= pool_max // 2
         res = march_fn(batch, beam_i, can_merge, d, small=small)
-        # ONE device->host transfer per round (each round trip over a
+        # bulk device->host transfers per round (each round trip over a
         # remote-TPU tunnel costs ~ms of latency); all row selection below
-        # happens in numpy — res.lum stays on device
+        # happens in numpy
         if res.packed_all is not None:
             pa = np.asarray(res.packed_all)
             pi = pa[:7]
@@ -503,9 +502,15 @@ def run_rounds(
         stats["lum_lost"] = (pf[2, :Lw] if L_lost is None
                              else L_lost + pf[2, :Lw])
         st = pi[0, :n]
+        # ONE bulk lum transfer per round: the alternative (keeping lum on
+        # device and running take/repeat/concat per blocked group) costs
+        # 10-30 small dispatches per round, which dominated the scattering
+        # stage over the remote-TPU tunnel (2-8 s/round of "post" time vs
+        # 0.3 s of march, RUNS/r4/measure6.log)
+        lum_h = np.asarray(res.lum)
         res_h = MarchResult(
             status=st,
-            lum=res.lum,
+            lum=lum_h,
             prev=pf[0],
             cc=pi[1],
             isel_old=pi[2],
@@ -527,7 +532,6 @@ def run_rounds(
         act = np.flatnonzero(st == ST_ACTIVE)
         stats["rays"] -= len(act)  # resumed rays are not new rays
         if len(act):
-            dsel = jnp.asarray(act)
             push(dict(
                 src_pos=np.asarray(d["src_pos"])[act],
                 src_cell=np.asarray(d["src_cell"])[act],
@@ -535,7 +539,7 @@ def run_rounds(
                 ipix=np.asarray(d["ipix"])[act],
                 theta=np.asarray(d["theta"])[act],
                 phi=np.asarray(d["phi"])[act],
-                lum=jnp.take(res.lum, dsel, axis=0),
+                lum=lum_h[act],
                 prev=res_h.prev[act],
                 cc_old=res_h.cc_cur[act],
                 isel_old=res_h.isel_cur[act],
