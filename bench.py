@@ -141,9 +141,11 @@ def main():
             jax.block_until_ready(sres.u_final)
             t_sca = time.time() - t  # warm-inclusive (one pass; compile
             #                  amortizes over the real run's many iterations)
+            sca_rays = sres.stats.get("scatt_rays", 0)
+            sca_steps = sres.stats.get("scatt_steps", 0)
             print(f"# scattering: 1 iteration in {t_sca:.2f}s warm-inclusive "
-                  f"(rays={sres.stats.get('scatt_rays')}, "
-                  f"steps={sres.stats.get('scatt_steps')})", file=sys.stderr)
+                  f"(rays={sca_rays}, steps={sca_steps}, "
+                  f"{sca_rays/max(t_sca,1e-9):,.0f} rays/s)", file=sys.stderr)
         except TimeoutError:
             print("# scattering metric skipped (DARTRAY_BENCH_SCATT_CAP)",
                   file=sys.stderr)
@@ -171,6 +173,7 @@ def main():
     }
     if t_sca is not None:
         out["scatt_iteration_wall_s"] = round(t_sca, 3)
+        out["scatt_rays_per_sec"] = round(sca_rays / max(t_sca, 1e-9), 1)
     print(json.dumps(out))
 
 
