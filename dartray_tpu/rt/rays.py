@@ -30,8 +30,28 @@ def _is_dev(a):
     return isinstance(a, jax.Array)
 
 
+class _RowView:
+    """Lazy row-subset view of a (n, L) device array already pulled to host
+    for a known index set: v[idx] returns the host rows for idx (which must
+    be a subset of the pulled set)."""
+
+    def __init__(self, rows: np.ndarray, idx: np.ndarray, n: int):
+        self._rows = rows
+        self._lookup = np.full(n, -1, dtype=np.int64)
+        self._lookup[idx] = np.arange(len(idx))
+
+    def __getitem__(self, idx):
+        pos = self._lookup[idx]
+        assert pos.min(initial=0) >= 0, "row not in the pulled subset"
+        return self._rows[pos]
+
+
 def _take(a, idx):
-    return jnp.take(a, jnp.asarray(idx), axis=0) if _is_dev(a) else np.asarray(a)[idx]
+    if _is_dev(a):
+        return jnp.take(a, jnp.asarray(idx), axis=0)
+    if isinstance(a, _RowView):
+        return a[idx]
+    return np.asarray(a)[idx]
 
 
 def _repeat(a, k):
@@ -502,12 +522,19 @@ def run_rounds(
         stats["lum_lost"] = (pf[2, :Lw] if L_lost is None
                              else L_lost + pf[2, :Lw])
         st = pi[0, :n]
-        # ONE bulk lum transfer per round: the alternative (keeping lum on
-        # device and running take/repeat/concat per blocked group) costs
-        # 10-30 small dispatches per round, which dominated the scattering
-        # stage over the remote-TPU tunnel (2-8 s/round of "post" time vs
-        # 0.3 s of march, RUNS/r4/measure6.log)
-        lum_h = np.asarray(res.lum)
+        # ONE bulk lum transfer per round covering exactly the rays whose
+        # luminosity the host needs (continuations + blocked).  Keeping
+        # lum on device and slicing per group cost 10-30 dispatches/round
+        # (2-8 s of "post" vs 0.3 s of march, RUNS/r4/measure6.log);
+        # pulling ALL of it cost ~0.8 s/round of tunnel bandwidth.  The
+        # selective gather is one dispatch + the minimal bytes.
+        need = np.flatnonzero(st != ST_GONE)
+        if len(need) > int(0.7 * n):
+            lum_h = np.asarray(res.lum)[:n]
+        else:
+            rows = (np.asarray(jnp.take(res.lum, jnp.asarray(need), axis=0))
+                    if len(need) else np.zeros((0, Lw)))
+            lum_h = _RowView(rows, need, n)
         res_h = MarchResult(
             status=st,
             lum=lum_h,
