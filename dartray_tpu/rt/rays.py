@@ -531,9 +531,17 @@ def run_rounds(
         need = np.flatnonzero(st != ST_GONE)
         if len(need) > int(0.7 * n):
             lum_h = np.asarray(res.lum)[:n]
+        elif len(need) == 0:
+            lum_h = _RowView(np.zeros((0, Lw)), need, n)
         else:
-            rows = (np.asarray(jnp.take(res.lum, jnp.asarray(need), axis=0))
-                    if len(need) else np.zeros((0, Lw)))
+            # pad the gather indices to bucketed sizes: a distinct index
+            # count per round would force a fresh TPU compile per round
+            mb = _bucket(len(need), minimum=256)
+            need_p = np.zeros(mb, dtype=np.int64)
+            need_p[: len(need)] = need
+            rows = np.asarray(
+                jnp.take(res.lum, jnp.asarray(need_p), axis=0)
+            )[: len(need)]
             lum_h = _RowView(rows, need, n)
         res_h = MarchResult(
             status=st,
