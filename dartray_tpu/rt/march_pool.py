@@ -501,54 +501,71 @@ def pool_march(
         divert_hi = split_req & ~spawn_ok
 
         # spawn 4 children per split lane: ONE batched (4*NR) scatter per
-        # record matrix instead of 17 per child
+        # record matrix instead of 17 per child.  The whole spawn block is
+        # under lax.cond — most iterations have zero splits and skip the
+        # pix2ang + three wide scatters entirely.
         n_h = jnp.sum(split_now.astype(jnp.int32))
-        hrank = jnp.cumsum(split_now.astype(jnp.int32)) - 1
-        base = s["rptr"] + 4 * hrank
-        pslot = jnp.where(split_now, s["slot"] % R, 0)
-        child_nside = 2 * s["rec_i"][RI_NSIDE, pslot]
         iold = jnp.clip(s["isel_old"], 0, 2)
         dsel = _sel3(iold, s["dx"], s["dy"], s["dz"])
         dplane_now = jnp.where(s["isel_old"] >= 0, s["prev"] * dsel, 0.0)
-        parent_ipix = s["rec_i"][RI_IPIX, pslot]
 
-        k4 = jnp.arange(4, dtype=jnp.int32)[:, None]  # (4, 1)
-        cid = jnp.where(split_now[None, :], (base[None, :] + k4) % R, R)
-        cpix = 4 * parent_ipix[None, :] + k4  # (4, NR)
-        ns4 = jnp.broadcast_to(child_nside[None, :], (4, NR))
-        cth, cph = hp._pix2ang_nest_impl(
-            jnp.maximum(ns4.reshape(-1), 1), cpix.reshape(-1)
+        def _spawn(ops):
+            rec_f_c, rec_i_c, rec_I0_c, rec_xo_c = ops
+            hrank = jnp.cumsum(split_now.astype(jnp.int32)) - 1
+            base = s["rptr"] + 4 * hrank
+            pslot = jnp.where(split_now, s["slot"] % R, 0)
+            child_nside = 2 * s["rec_i"][RI_NSIDE, pslot]
+            parent_ipix = s["rec_i"][RI_IPIX, pslot]
+            k4 = jnp.arange(4, dtype=jnp.int32)[:, None]  # (4, 1)
+            cid = jnp.where(split_now[None, :], (base[None, :] + k4) % R, R)
+            cpix = 4 * parent_ipix[None, :] + k4  # (4, NR)
+            ns4 = jnp.broadcast_to(child_nside[None, :], (4, NR))
+            cth, cph = hp._pix2ang_nest_impl(
+                jnp.maximum(ns4.reshape(-1), 1), cpix.reshape(-1)
+            )
+            B4 = lambda a: jnp.broadcast_to(a[None, :], (4, NR)).reshape(-1)
+            child_f = jnp.stack([
+                cth.astype(fdtype), cph.astype(fdtype),
+                B4(s["lsx"]), B4(s["lsy"]), B4(s["lsz"]),
+                (4.0 * jnp.pi / (12.0 * ns4.astype(fdtype) ** 2)).reshape(-1),
+                B4(s["lcsn"]), B4(s["prev"]), B4(s["lownb"]),
+                jnp.zeros((4 * NR,), fdtype),
+            ])  # (NF, 4*NR) in RF_* order
+            child_i = jnp.stack([
+                B4(nc), cpix.reshape(-1), ns4.reshape(-1), B4(s["isel_old"]),
+                jnp.zeros((4 * NR,), jnp.int32),
+                B4(s["rec_i"][RI_SRC, pslot]),
+            ])  # (NI, 4*NR) in RI_* order
+            cidf = cid.reshape(-1)
+            rec_f_c = rec_f_c.at[:, cidf].set(child_f, mode="drop")
+            rec_i_c = rec_i_c.at[:, cidf].set(child_i, mode="drop")
+            rec_I0_c = rec_I0_c.at[cidf].set(
+                jnp.broadcast_to(I_child[None], (4, NR, L)).reshape(-1, L),
+                mode="drop")
+            # the one rec_xo scatter-add: own-cell accumulation + child
+            # reset (reset expressed as add(-old) so the array sees a
+            # single scatter op per iteration — see make_state note)
+            cid_cl = jnp.clip(cidf, 0, R - 1)
+            xo_idx = jnp.concatenate([ridp, cidf])
+            xo_val = jnp.concatenate([
+                jnp.where(rec & is_own, x_e, 0.0),
+                jnp.where(cidf < R, -rec_xo_c[cid_cl], 0.0),
+            ])
+            rec_xo_c = rec_xo_c.at[xo_idx].add(xo_val, mode="drop")
+            return rec_f_c, rec_i_c, rec_I0_c, rec_xo_c
+
+        def _no_spawn(ops):
+            rec_f_c, rec_i_c, rec_I0_c, rec_xo_c = ops
+            rec_xo_c = rec_xo_c.at[ridp].add(
+                jnp.where(rec & is_own, x_e, 0.0), mode="drop")
+            return rec_f_c, rec_i_c, rec_I0_c, rec_xo_c
+
+        (s_new["rec_f"], s_new["rec_i"], s_new["rec_I0"],
+         s_new["rec_xo"]) = jax.lax.cond(
+            n_h > 0, _spawn, _no_spawn,
+            (s_new["rec_f"], s_new["rec_i"], s_new["rec_I0"], s["rec_xo"]),
         )
-        B4 = lambda a: jnp.broadcast_to(a[None, :], (4, NR)).reshape(-1)
-        child_f = jnp.stack([
-            cth.astype(fdtype), cph.astype(fdtype),
-            B4(s["lsx"]), B4(s["lsy"]), B4(s["lsz"]),
-            (4.0 * jnp.pi / (12.0 * ns4.astype(fdtype) ** 2)).reshape(-1),
-            B4(s["lcsn"]), B4(s["prev"]), B4(s["lownb"]),
-            jnp.zeros((4 * NR,), fdtype),
-        ])  # (NF, 4*NR) in RF_* order
-        child_i = jnp.stack([
-            B4(nc), cpix.reshape(-1), ns4.reshape(-1), B4(s["isel_old"]),
-            jnp.zeros((4 * NR,), jnp.int32),
-            B4(s["rec_i"][RI_SRC, pslot]),
-        ])  # (NI, 4*NR) in RI_* order
-        cidf = cid.reshape(-1)
-        s_new["rec_f"] = s_new["rec_f"].at[:, cidf].set(child_f, mode="drop")
-        s_new["rec_i"] = s_new["rec_i"].at[:, cidf].set(child_i, mode="drop")
-        s_new["rec_I0"] = s_new["rec_I0"].at[cidf].set(
-            jnp.broadcast_to(I_child[None], (4, NR, L)).reshape(-1, L),
-            mode="drop")
         s_new["rptr"] = (s["rptr"] + 4 * n_h).astype(jnp.int32)
-        # the one rec_xo scatter-add: own-cell accumulation + child reset
-        # (reset expressed as add(-old) so the array sees a single
-        # scatter op per iteration — see make_state note)
-        cid_cl = jnp.clip(cidf, 0, R - 1)
-        xo_idx = jnp.concatenate([ridp, cidf])
-        xo_val = jnp.concatenate([
-            jnp.where(rec & is_own, x_e, 0.0),
-            jnp.where(cidf < R, -s["rec_xo"][cid_cl], 0.0),
-        ])
-        s_new["rec_xo"] = s["rec_xo"].at[xo_idx].add(xo_val, mode="drop")
 
         # --- blocked export: merge candidates + diverted highs --------
         low_now = act & go_low
