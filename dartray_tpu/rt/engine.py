@@ -149,7 +149,12 @@ def _wall_bounds(cfg, modelsize):
     return tuple(lo), tuple(hi)
 
 
-STEP_CHUNK = 96  # march steps per kernel call before compaction
+# march steps per kernel call before compaction.  The while cond exits as
+# soon as every lane finishes, so a long chunk costs nothing when rays die
+# early; what it buys is fewer continuation rounds — each continuation
+# costs a batch rebuild + an extra lum pull over the tunnel (~0.5 s),
+# while a wasted in-loop iteration costs ~0.34 ms (RUNS/r4).
+STEP_CHUNK = 384
 
 
 def run_field_stage(

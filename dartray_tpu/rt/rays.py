@@ -502,7 +502,7 @@ def run_rounds(
         # below half pool there is little to compact: let the kernel run
         # longer between (latency-bound) host round trips — the while cond
         # exits as soon as every ray finishes, so long chunks cost nothing
-        small = n <= pool_max // 2
+        small = n <= pool_max // 4
         res = march_fn(batch, beam_i, can_merge, d, small=small)
         # bulk device->host transfers per round (each round trip over a
         # remote-TPU tunnel costs ~ms of latency); all row selection below
