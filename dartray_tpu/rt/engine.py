@@ -297,6 +297,8 @@ def run_field_stage(
     kext_norm = jnp.asarray(phys.kext_norm, dtype=fdtype)
     albedo = jnp.asarray(phys.albedo, dtype=fdtype)
     rad_lim_dist = rad_lim * grid.modelsize if mode == M.MODE_PRECALC else np.inf
+    if scaspe_cfg is not None:
+        step_chunk = min(step_chunk, 96)
     kw = dict(
         mode=mode,
         point_source=sources.point,
@@ -332,7 +334,12 @@ def run_field_stage(
 
     def march_fn(batch, beam_i, can_merge, _d=None, small=False):
         nonlocal u, scaspe
-        kw_r = kw if not small else dict(kw, max_steps=8 * kw["max_steps"])
+        # scaspe deposits cost ~10 ms/iteration REGARDLESS of active lanes
+        # (the (NR, P*L) scatter is full-size), so scaspe stages keep
+        # chunks short; scaspe-less iterations are ~0.3 ms, so long chunks
+        # are free there and save continuation rounds
+        mult = 8 if scaspe_cfg is None else 2
+        kw_r = kw if not small else dict(kw, max_steps=mult * kw["max_steps"])
         if mesh is not None:
             from ..parallel import mesh as PM
 
@@ -383,7 +390,8 @@ def run_field_stage(
             )
 
     R.run_rounds(march_fn, launches(), L, fdtype=fdtype, stats=stats,
-                 src_lum_fn=src_lum_fn, pool_max=pool_max)
+                 src_lum_fn=src_lum_fn, pool_max=pool_max,
+                 host_lum=scaspe_cfg is not None)
 
     # lum_lost is accumulated on host from the packed round outputs
     lum_lost = lum_lost + np.asarray(stats.pop("lum_lost", 0.0), dtype=float)

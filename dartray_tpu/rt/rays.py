@@ -425,6 +425,7 @@ def run_rounds(
     stats: dict | None = None,
     src_lum_fn: Callable | None = None,
     pool_max: int = POOL_MAX,
+    host_lum: bool = False,
 ):
     """Drive every ray of every source to completion in global rounds.
 
@@ -522,27 +523,33 @@ def run_rounds(
         stats["lum_lost"] = (pf[2, :Lw] if L_lost is None
                              else L_lost + pf[2, :Lw])
         st = pi[0, :n]
-        # ONE bulk lum transfer per round covering exactly the rays whose
-        # luminosity the host needs (continuations + blocked).  Keeping
-        # lum on device and slicing per group cost 10-30 dispatches/round
-        # (2-8 s of "post" vs 0.3 s of march, RUNS/r4/measure6.log);
-        # pulling ALL of it cost ~0.8 s/round of tunnel bandwidth.  The
-        # selective gather is one dispatch + the minimal bytes.
-        need = np.flatnonzero(st != ST_GONE)
-        if len(need) > int(0.7 * n):
-            lum_h = np.asarray(res.lum)[:n]
-        elif len(need) == 0:
-            lum_h = _RowView(np.zeros((0, Lw)), need, n)
+        if not host_lum:
+            # scaspe-less stages: luminosities stay device-resident and
+            # every regroup is a lazy device op (no sync; the round-3
+            # direct stage measured fastest this way)
+            lum_h = res.lum
         else:
-            # pad the gather indices to bucketed sizes: a distinct index
-            # count per round would force a fresh TPU compile per round
-            mb = _bucket(len(need), minimum=256)
-            need_p = np.zeros(mb, dtype=np.int64)
-            need_p[: len(need)] = need
-            rows = np.asarray(
-                jnp.take(res.lum, jnp.asarray(need_p), axis=0)
-            )[: len(need)]
-            lum_h = _RowView(rows, need, n)
+            # scattering stages regroup tens of thousands of blocked rays
+            # per round: ONE bulk lum transfer covering exactly the rays
+            # the host needs (continuations + blocked) replaces 10-30
+            # per-group device round trips (2-8 s of "post" vs 0.3 s of
+            # march, RUNS/r4/measure6.log)
+            need = np.flatnonzero(st != ST_GONE)
+            if len(need) > int(0.7 * n):
+                lum_h = np.asarray(res.lum)[:n]
+            elif len(need) == 0:
+                lum_h = _RowView(np.zeros((0, Lw)), need, n)
+            else:
+                # pad the gather indices to bucketed sizes: a distinct
+                # index count per round would force a remote compile per
+                # round
+                mb = _bucket(len(need), minimum=256)
+                need_p = np.zeros(mb, dtype=np.int64)
+                need_p[: len(need)] = need
+                rows = np.asarray(
+                    jnp.take(res.lum, jnp.asarray(need_p), axis=0)
+                )[: len(need)]
+                lum_h = _RowView(rows, need, n)
         res_h = MarchResult(
             status=st,
             lum=lum_h,
@@ -574,7 +581,7 @@ def run_rounds(
                 ipix=np.asarray(d["ipix"])[act],
                 theta=np.asarray(d["theta"])[act],
                 phi=np.asarray(d["phi"])[act],
-                lum=lum_h[act],
+                lum=_take(lum_h, act),
                 prev=res_h.prev[act],
                 cc_old=res_h.cc_cur[act],
                 isel_old=res_h.isel_cur[act],
