@@ -160,15 +160,35 @@ def cmd_run(model: str, input_file: str):
           f"(scaspe {mem['scaspe_bytes']/2**30:.2f} GiB)")
 
     two_d = algo in ("2D", "dust_2D")
-    # shard the field stages over every local device (P1+P6); a single
-    # chip runs the plain path
+    # shard the field stages over every device (P1+P6).  Multi-host (P8,
+    # initialize_mpi io_routines.f90:3610): set DARTRAY_MULTIHOST=1 and
+    # the coordination env vars (DARTRAY_COORDINATOR=host:port,
+    # DARTRAY_NUM_PROCS, DARTRAY_PROC_ID — or nothing on cloud TPU,
+    # which auto-detects), then run the SAME command on every host; the
+    # mesh spans all hosts' devices.  A 'wave' axis additionally shards
+    # the scaspe wavelength axis (P3): DARTRAY_WAVE_SHARDS=n.
+    import os as _os
+
     import jax
+
+    if _os.environ.get("DARTRAY_MULTIHOST", "0") not in ("", "0"):
+        from .parallel import distributed as DIST
+
+        DIST.initialize()
+        print(f"# multihost: process {jax.process_index()}/"
+              f"{jax.process_count()}")
     mesh = None
     if len(jax.devices()) > 1:
         from .parallel import mesh as PM
 
-        mesh = PM.ray_mesh()
-        print(f"# sharding rays over {len(jax.devices())} devices")
+        n_wave = int(_os.environ.get("DARTRAY_WAVE_SHARDS", "1"))
+        if n_wave > 1 and len(jax.devices()) % n_wave == 0:
+            mesh = PM.make_mesh(len(jax.devices()) // n_wave, n_wave)
+            print(f"# sharding rays x wave over "
+                  f"{len(jax.devices())} devices ({n_wave} wave shards)")
+        else:
+            mesh = PM.ray_mesh()
+            print(f"# sharding rays over {len(jax.devices())} devices")
     print(f"# running {algo} RT: {grid.n_cells} cells, "
           f"L_stars={wl.lnum_stars}, L_dust={wl.lnum_dust}")
     res = P.run_main(
