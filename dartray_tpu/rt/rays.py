@@ -480,12 +480,16 @@ def run_rounds(
             return None
         return take[0] if len(take) == 1 else _dict_concat(take)
 
+    import os, time
+    _dbg = os.environ.get("DARTRAY_DEBUG_ROUNDS")
     while True:
+        t_a0 = time.perf_counter() if _dbg else 0.0
         d = assemble()
         if d is None:
             break
         n = len(d["src_cell"])
         nside = np.asarray(d["nside"])
+        t_a1 = time.perf_counter() if _dbg else 0.0
         if src_lum_fn is not None and np.any(d["fresh"]):
             lum = src_lum_fn(d, nside)
             d = dict(d)
@@ -495,10 +499,12 @@ def run_rounds(
                     jnp.asarray(d["lum"]))
             else:
                 d["lum"] = np.where(d["fresh"][:, None], lum, d["lum"])
+        t_a2 = time.perf_counter() if _dbg else 0.0
         m = _bucket(n)
         batch, beam_i, can_merge = _to_batch(d, L, pad_to=m, fdtype=fdtype)
-        import os, time
-        _dbg = os.environ.get("DARTRAY_DEBUG_ROUNDS")
+        if _dbg:
+            print(f"# prep  assemble={t_a1-t_a0:.4f}s srclum={t_a2-t_a1:.4f}s "
+                  f"tobatch={time.perf_counter()-t_a2:.4f}s", flush=True)
         t0 = time.perf_counter() if _dbg else 0.0
         # below half pool there is little to compact: let the kernel run
         # longer between (latency-bound) host round trips — the while cond

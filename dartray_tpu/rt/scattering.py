@@ -425,7 +425,12 @@ def run_scattering(
                 pos=np.asarray(grid.ccoord)[sel_p],
                 cell=sel_p,
                 sid=sel_p,
-                lum=lc_dev[jnp.asarray(sel_p)],  # placeholder; per-ray from scaspe_prev
+                # placeholder only: src_lum_fn overrides every fresh ray's
+                # luminosity from scaspe_prev.  MUST be host numpy — a
+                # device array here meant a per-chunk device slice whose
+                # varying bounds recompiled remotely every launch packet
+                # (3.2 s per assemble, RUNS/r4/measure12.log)
+                lum=np.zeros((len(sel_p), L)),
                 point=False,
             )
             u_base = u if symmetrize else None
