@@ -110,7 +110,7 @@ def main():
     # wall-time per converged RT iteration (the BASELINE.json metric):
     # one scattering iteration on the TRUST I scaspe (kp_sca_max=1),
     # sources = every slab cell with scattered luminosity
-    t_sca = None
+    t_sca = sca_rate = sca_part = None
     if os.environ.get("DARTRAY_BENCH_SCATT", "1") != "0":
         # never let this section block the headline JSON line: hard-cap it
         import signal
@@ -131,25 +131,47 @@ def main():
                 scaspe_init=scfg.zeros(grid.n_cells, jnp.float32),
             )
             jax.block_until_ready(rs.u)
-            t = time.time()
-            sres = SC.run_scattering(
-                grid, phys, scfg, rs.scaspe, rs.u,
-                conv_en_lim=cfg.conv_en_lim, en_lim=en_lim,
-                bm_par_sca=cfg.bm_par_sca, bm_par_max=cfg.bm_par_max,
-                max_iterations=1, chunk=32,
-            )
-            jax.block_until_ready(sres.u_final)
-            t_sca = time.time() - t  # warm-inclusive (one pass; compile
-            #                  amortizes over the real run's many iterations)
+
+            def one_iter(scaspe):
+                t = time.time()
+                sres = SC.run_scattering(
+                    grid, phys, scfg, scaspe, rs.u,
+                    conv_en_lim=cfg.conv_en_lim, en_lim=en_lim,
+                    bm_par_sca=cfg.bm_par_sca, bm_par_max=cfg.bm_par_max,
+                    max_iterations=1, chunk=32,
+                )
+                jax.block_until_ready(sres.u_final)
+                return time.time() - t, sres
+
+            # (1) ALWAYS-measurable slice: 1/16 of the source cells (zero
+            # out the rest of the scattering source function).  One TRUST
+            # scattering iteration launches 153,600 cell sources (~100M+
+            # rays with the split cascade — comparable to the reference's
+            # hours-scale full runs), so the full iteration only fits
+            # generous caps; the slice pins rays/s honestly every run.
+            every = 16
+            keep = (jnp.arange(grid.n_cells) % every == 0).astype(jnp.float32)
+            sub = tuple(s * keep[:, None, None] for s in rs.scaspe)
+            t_part, sp = one_iter(sub)
+            part_rays = sp.stats.get("scatt_rays", 0)
+            sca_rate = part_rays / max(t_part, 1e-9)
+            sca_part = t_part
+            print(f"# scattering (1/{every} sources): {t_part:.2f}s, "
+                  f"rays={part_rays}, {sca_rate:,.0f} rays/s",
+                  file=sys.stderr)
+
+            # (2) the full iteration, if it fits the cap
+            t_sca, sres = one_iter(rs.scaspe)
             sca_rays = sres.stats.get("scatt_rays", 0)
             sca_steps = sres.stats.get("scatt_steps", 0)
-            print(f"# scattering: 1 iteration in {t_sca:.2f}s warm-inclusive "
+            sca_rate = sca_rays / max(t_sca, 1e-9)
+            print(f"# scattering: 1 FULL iteration in {t_sca:.2f}s "
                   f"(rays={sca_rays}, steps={sca_steps}, "
-                  f"{sca_rays/max(t_sca,1e-9):,.0f} rays/s)", file=sys.stderr)
+                  f"{sca_rate:,.0f} rays/s)", file=sys.stderr)
         except TimeoutError:
-            print("# scattering metric skipped (DARTRAY_BENCH_SCATT_CAP)",
-                  file=sys.stderr)
-            t_sca = None
+            print("# full scattering iteration exceeded "
+                  "DARTRAY_BENCH_SCATT_CAP (partial-slice rate above is "
+                  "the recorded throughput)", file=sys.stderr)
         finally:
             signal.alarm(0)
 
@@ -173,7 +195,10 @@ def main():
     }
     if t_sca is not None:
         out["scatt_iteration_wall_s"] = round(t_sca, 3)
-        out["scatt_rays_per_sec"] = round(sca_rays / max(t_sca, 1e-9), 1)
+    if sca_rate is not None:
+        out["scatt_rays_per_sec"] = round(sca_rate, 1)
+    if sca_part is not None:
+        out["scatt_partial_iteration_wall_s"] = round(sca_part, 3)
     print(json.dumps(out))
 
 
