@@ -162,14 +162,23 @@ def main():
                   f"rays={part_rays}, {sca_rate:,.0f} rays/s",
                   file=sys.stderr)
 
-            # (2) the full iteration, if it fits the cap
-            t_sca, sres = one_iter(rs.scaspe)
-            sca_rays = sres.stats.get("scatt_rays", 0)
-            sca_steps = sres.stats.get("scatt_steps", 0)
-            sca_rate = sca_rays / max(t_sca, 1e-9)
-            print(f"# scattering: 1 FULL iteration in {t_sca:.2f}s "
-                  f"(rays={sca_rays}, steps={sca_steps}, "
-                  f"{sca_rate:,.0f} rays/s)", file=sys.stderr)
+            # (2) the full iteration, if the slice extrapolation says it
+            # can fit the cap (the full TRUST iteration is ~1e9 rays:
+            # the 1/16-source slice measured 65.0M rays in 1058 s —
+            # ~6,770 rays per source cell from the split cascade)
+            full_est = t_part * every
+            if full_est <= 1.2 * cap:
+                t_sca, sres = one_iter(rs.scaspe)
+                sca_rays = sres.stats.get("scatt_rays", 0)
+                sca_steps = sres.stats.get("scatt_steps", 0)
+                sca_rate = sca_rays / max(t_sca, 1e-9)
+                print(f"# scattering: 1 FULL iteration in {t_sca:.2f}s "
+                      f"(rays={sca_rays}, steps={sca_steps}, "
+                      f"{sca_rate:,.0f} rays/s)", file=sys.stderr)
+            else:
+                print(f"# full scattering iteration estimated ~{full_est:,.0f}s"
+                      f" (> cap {cap}s); slice rate above is the recorded "
+                      "throughput", file=sys.stderr)
         except TimeoutError:
             print("# full scattering iteration exceeded "
                   "DARTRAY_BENCH_SCATT_CAP (partial-slice rate above is "
