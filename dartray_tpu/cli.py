@@ -103,6 +103,15 @@ def _model_sources(model, cfg, raw, grid, wl):
 
 
 def cmd_run(model: str, input_file: str):
+    # Multi-host (P8): jax.distributed.initialize() must run before ANY
+    # jax call that can initialize the XLA backend — check_memory's
+    # device query below would otherwise do so and the late initialize
+    # raises RuntimeError (initialize_mpi is likewise the first call in
+    # the reference, io_routines.f90:3610).
+    if os.environ.get("DARTRAY_MULTIHOST", "0") not in ("", "0"):
+        from .parallel import distributed as DIST
+
+        DIST.initialize()
     from . import pipeline as P
     from .grid.io import read_grid
     from . import io_output as OUT

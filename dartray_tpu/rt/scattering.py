@@ -302,20 +302,10 @@ class ScaspeDevOps:
         out = self._gather(scaspe, jnp.asarray(cells_p), jnp.asarray(pixs))
         return out[:n]
 
-    def obs_lum(self, scaspe: tuple, cells, j: int):
-        """Device (n, L) luminosity toward appended observer direction j."""
-        from . import rays as R
-
-        cells = np.asarray(cells)
-        n = len(cells)
-        m = R._bucket(n)
-        cells_p = np.zeros(m, dtype=np.int32)
-        cells_p[:n] = cells
-        pixs = np.stack(
-            [np.full(m, b.npix_hp + j, dtype=np.int32) for b in self.scfg.buckets]
-        )
-        out = self._gather(scaspe, jnp.asarray(cells_p), jnp.asarray(pixs))
-        return out[:n]
+    # NOTE: no device obs_lum counterpart on purpose — the observer-
+    # intensity stage runs after the iterations, when scaspe_tot is
+    # already on host for the output files; host fancy-indexing there is
+    # cheaper than a per-packet device gather dispatch.
 
 
 @dataclasses.dataclass

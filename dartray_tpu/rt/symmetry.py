@@ -238,10 +238,21 @@ class DeviceSymmetry:
 
 
 def dev_ops(sym: SymmetryMaps, perms=None) -> DeviceSymmetry:
-    ops = getattr(sym, "_dev_ops", None)
-    if ops is None:
-        ops = DeviceSymmetry(sym, perms)
-        object.__setattr__(sym, "_dev_ops", ops)
+    # cache keyed on the perms CONTENT: a cache hit keyed on `sym` alone
+    # would silently reuse the first stage's pixel permutations for a
+    # different ScaspeConfig (e.g. the dust range against the same sym)
+    key = (
+        None
+        if perms is None
+        else tuple(
+            None if pm is None else (pm.shape, pm.tobytes()) for pm in perms
+        )
+    )
+    hit = getattr(sym, "_dev_ops", None)
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    ops = DeviceSymmetry(sym, perms)
+    object.__setattr__(sym, "_dev_ops", (key, ops))
     return ops
 
 
