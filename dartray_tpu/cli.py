@@ -183,21 +183,25 @@ def cmd_run(model: str, input_file: str):
     if _os.environ.get("DARTRAY_MULTIHOST", "0") not in ("", "0"):
         from .parallel import distributed as DIST
 
-        DIST.initialize()
+        DIST.initialize()  # no-op: cmd_run already initialized at entry
         print(f"# multihost: process {jax.process_index()}/"
-              f"{jax.process_count()}")
+              f"{jax.process_count()} (rank-strided sources + stage "
+              "reductions; local devices shard rays/wave)")
+    # under multihost each process drives its LOCAL device mesh (P1/P3)
+    # while the source split + stage reductions span processes (P8)
+    devs = jax.local_devices()
     mesh = None
-    if len(jax.devices()) > 1:
+    if len(devs) > 1:
         from .parallel import mesh as PM
 
         n_wave = int(_os.environ.get("DARTRAY_WAVE_SHARDS", "1"))
-        if n_wave > 1 and len(jax.devices()) % n_wave == 0:
-            mesh = PM.make_mesh(len(jax.devices()) // n_wave, n_wave)
+        if n_wave > 1 and len(devs) % n_wave == 0:
+            mesh = PM.make_mesh(len(devs) // n_wave, n_wave, devices=devs)
             print(f"# sharding rays x wave over "
-                  f"{len(jax.devices())} devices ({n_wave} wave shards)")
+                  f"{len(devs)} devices ({n_wave} wave shards)")
         else:
-            mesh = PM.ray_mesh()
-            print(f"# sharding rays over {len(jax.devices())} devices")
+            mesh = PM.ray_mesh(devices=devs)
+            print(f"# sharding rays over {len(devs)} devices")
     print(f"# running {algo} RT: {grid.n_cells} cells, "
           f"L_stars={wl.lnum_stars}, L_dust={wl.lnum_dust}")
     res = P.run_main(

@@ -94,9 +94,24 @@ class OutputFiles:
         return self._fl(il, "scaspe_tot")
 
 
+def is_writer() -> bool:
+    """True on the one process that writes output files.  Multi-process
+    runs (P8) gate every file write on process 0 — the reference's
+    main_prc gating (io_routines.f90 make_output paths) — so cooperating
+    ranks never race on the same output files."""
+    import jax
+
+    try:
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
 def _write_h5(path, **datasets):
     import h5py
 
+    if not is_writer():
+        return
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with h5py.File(path, "w") as f:
         for k, v in datasets.items():
@@ -189,6 +204,8 @@ def write_file_info(files: OutputFiles, cfg, extra: dict = None):
     human-readable key=value list of the input namelist + run info."""
     import dataclasses as _dc
 
+    if not is_writer():
+        return
     os.makedirs(files.dir_runs, exist_ok=True)
     with open(files.info, "w") as f:
         f.write("# dartray_tpu run info\n")

@@ -57,6 +57,45 @@ def global_ray_mesh() -> Mesh:
     return Mesh(np.array(jax.devices()), ("rays",))
 
 
+# ---------------------------------------------------------------------------
+# Source-decomposition multi-process execution (the production P8 path)
+# ---------------------------------------------------------------------------
+#
+# The reference's MPI model is rank-wise source splitting with a field
+# reduction at stage end (the src loop strides by rank, and
+# reduce_u_fest_arr/reduce_u_final_arr sum the per-rank accumulators,
+# io_routines.f90:3667-3986).  The TPU-native equivalent keeps that outer
+# layer: each PROCESS traces an interleaved slice of the stage's sources on
+# its own local device mesh (where rays/wave shard_map parallelism still
+# applies), and the per-process field/scaspe accumulators are summed once
+# per stage.  All stage-level control flow (convergence tests, scattering
+# source selection, the ladder regroup) runs on the REDUCED arrays, so
+# every process takes identical decisions and the collectives stay aligned
+# without any explicit synchronization — exactly the reference's
+# "every rank runs the same program" contract.
+
+
+def split_sources(n: int):
+    """Indices of this process's share of `n` stage sources (the
+    reference's rank-strided source loop)."""
+    return np.arange(jax.process_index(), n, jax.process_count())
+
+
+def allreduce_sum(x):
+    """Sum `x` (device array / numpy / scalar) across processes; no-op in
+    single-process runs.  Goes through host allgather — one call per
+    stage, the analog of reduce_u_*_arr (io_routines.f90:3667-3986)."""
+    if jax.process_count() == 1:
+        return x
+    from jax.experimental import multihost_utils
+
+    import jax.numpy as jnp
+
+    host = np.asarray(x)
+    tot = np.asarray(multihost_utils.process_allgather(host)).sum(axis=0)
+    return jnp.asarray(tot) if isinstance(x, jax.Array) else tot
+
+
 def host_local_batch(mesh: Mesh, spec: P, value: np.ndarray):
     """Host numpy (identical on every process) -> global Array sharded by
     `spec` over `mesh`; each process supplies only the shards its local

@@ -23,8 +23,10 @@ from ..rt import march as M
 from ..rt import replay as REP
 
 
-def make_mesh(n_rays: int, n_wave: int = 1):
-    devs = np.array(jax.devices()[: n_rays * n_wave]).reshape(n_rays, n_wave)
+def make_mesh(n_rays: int, n_wave: int = 1, devices=None):
+    devs = np.array((devices or jax.devices())[: n_rays * n_wave]).reshape(
+        n_rays, n_wave
+    )
     return Mesh(devs, ("rays", "wave"))
 
 
@@ -60,9 +62,9 @@ def sharded_march_u(mesh: Mesh, grid: Grid, dens_ref, kext_norm, albedo, batch, 
     return jax.jit(f)(dens_ref, kext_norm, albedo, ufest, u0, batch)
 
 
-def ray_mesh(n_devices: int = None):
+def ray_mesh(n_devices: int = None, devices=None):
     """1-D mesh over the local devices for ray data parallelism (P1)."""
-    devs = jax.devices()
+    devs = devices or jax.devices()
     n = n_devices or len(devs)
     return Mesh(np.array(devs[:n]), ("rays",))
 
@@ -168,6 +170,8 @@ def make_stage_march(mesh: Mesh, grid: Grid, n_buckets: int, **static_kw):
         # total steps, row 2 of packed_f = total lum_lost (per-shard rows
         # stitched along the ray axis leave per-shard values there)
         pi = pi.at[6].set(steps_tot.astype(pi.dtype))
+        # row 7 = per-shard loop iteration counts; report the slowest shard
+        pi = pi.at[7].set(jnp.max(pi[7]))
         pf = pf.at[2].set(
             jnp.zeros((pf.shape[1],), pf.dtype).at[: lost_tot.shape[0]].set(lost_tot)
         )

@@ -215,6 +215,21 @@ def run_field_stage(
     L = phys.kext_norm.shape[0]
     if fdtype is None:
         fdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    # P8 multi-process: each process traces an interleaved slice of the
+    # sources on its local mesh; accumulators are summed once at stage end
+    # (the reference's rank-strided source loop + reduce_u_*_arr,
+    # io_routines.f90:3667-3986).  Stage decisions everywhere use the
+    # reduced results, so all processes stay in lockstep.
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        from ..parallel import distributed as DIST
+
+        sel_p8 = DIST.split_sources(sources.n)
+        sources = SourceSet(
+            pos=sources.pos[sel_p8], cell=sources.cell[sel_p8],
+            sid=sources.sid[sel_p8], lum=np.asarray(sources.lum)[sel_p8],
+            point=sources.point,
+        )
     if pool_max is None:
         # the scattering deposit path carries (NR, P, L) HG weight buffers;
         # cap the batch so ffn stays ~100 MB (P_tot ~ sum of bucket
@@ -299,6 +314,17 @@ def run_field_stage(
     rad_lim_dist = rad_lim * grid.modelsize if mode == M.MODE_PRECALC else np.inf
     if scaspe_cfg is not None:
         step_chunk = min(step_chunk, 96)
+    # two-level march loop (march.flush_every): A/B knob, DEFAULT OFF.
+    # Round 4 hypothesized XLA copies while-carried scatter targets every
+    # iteration (the "9.8 ms scaspe deposit floor"); round 5 measured the
+    # real workload both ways and REFUTED it on the current backend: in-
+    # loop scatters are cheap (RUNS/r5_prof1.log C/D) and the two-level
+    # record+flush structure only adds the inner-scan recording cost
+    # (direct 195k -> 122k rays/s, scattering slice 237 -> 249 s;
+    # RUNS/r5_ab1.log).  Kept behind the env knob with an exact
+    # equivalence suite (tests/test_march_flush.py) so future backends
+    # can re-measure cheaply.
+    flush_k = int(_os.environ.get("DARTRAY_FLUSH_K", "0"))
     kw = dict(
         mode=mode,
         point_source=sources.point,
@@ -310,6 +336,7 @@ def run_field_stage(
         wall_lo=wall_lo,
         wall_hi=wall_hi,
         max_steps=step_chunk,
+        flush_every=flush_k,
         nav=grid_nav(grid),
         dens_lambda=(
             jnp.asarray(phys.dens_lambda, dtype=fdtype)
@@ -411,6 +438,17 @@ def run_field_stage(
                     for s, b in zip(scaspe, scaspe_cfg.buckets)
                 )
 
+    if n_proc > 1:
+        # P8 stage reduction across processes (reduce_u_*_arr)
+        u = DIST.allreduce_sum(u)
+        if scaspe is not None:
+            scaspe = tuple(DIST.allreduce_sum(s) for s in scaspe)
+        lum_lost = DIST.allreduce_sum(lum_lost)
+        # reduce with a 0 default so the collective count matches across
+        # processes even when one of them drew no sources this stage
+        for k in ("rays", "steps"):
+            stats[k] = int(DIST.allreduce_sum(stats.get(k, 0)))
+
     return StageResult(u=u, lum_lost=lum_lost, stats=stats, scaspe=scaspe)
 
 
@@ -499,6 +537,18 @@ def run_iobs_stage(
     if fdtype is None:
         fdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     n_sid = n_sid or (grid.n_cells + (sources.n if sources.point else 0))
+    # P8: rank-strided source split; the per-process i_obs deltas are
+    # summed at the end (rows are disjoint across processes)
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        from ..parallel import distributed as DIST
+
+        sel_p8 = DIST.split_sources(sources.n)
+        sources = SourceSet(
+            pos=sources.pos[sel_p8], cell=sources.cell[sel_p8],
+            sid=sources.sid[sel_p8], lum=np.asarray(sources.lum)[sel_p8],
+            point=sources.point,
+        )
     dens_ref = jnp.asarray(grid.dens_ref, dtype=fdtype)
     kext_norm = jnp.asarray(phys.kext_norm, dtype=fdtype)
     albedo = jnp.asarray(phys.albedo, dtype=fdtype)
@@ -508,6 +558,8 @@ def run_iobs_stage(
         i_obs = np.zeros((n_sid, len(dir_out), L))
     if i_obs_in is None and pos_obs is not None:
         i_obs_in = np.zeros((n_sid, len(pos_obs), L))
+    base_obs = i_obs.copy() if (n_proc > 1 and i_obs is not None) else None
+    base_in = i_obs_in.copy() if (n_proc > 1 and i_obs_in is not None) else None
 
     def run_rays(d, mode, vec_mod=None):
         n = len(d["src_cell"])
@@ -590,4 +642,9 @@ def run_iobs_stage(
                 )
                 i_obs_in[sids, j] += run_rays(d, M.MODE_IOBS_IN, vec_mod=vec_mod)
 
+    if n_proc > 1:
+        if i_obs is not None:
+            i_obs = base_obs + DIST.allreduce_sum(i_obs - base_obs)
+        if i_obs_in is not None:
+            i_obs_in = base_in + DIST.allreduce_sum(i_obs_in - base_in)
     return i_obs, i_obs_in

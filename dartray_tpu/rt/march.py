@@ -147,6 +147,7 @@ def _level_select(clvl, table_np, dtype=None):
         "trace_steps",
         "collect_en_sca",
         "scaspe_npix_hp",
+        "flush_every",
     ),
 )
 def march_legacy(
@@ -184,6 +185,16 @@ def march_legacy(
     dens_lambda=None,  # (ncell, L): per-wavelength extinction coefficient
     #                    from lambda-grid files (read_lambda_grid,
     #                    io_routines.f90:397-498); overrides dens_ref*kext_norm
+    flush_every: int = 0,  # > 0: two-level loop — an inner lax.scan of this
+    #                    many steps RECORDS the (cell, deposit) entries and
+    #                    the outer while body flushes them with scatter-adds
+    #                    once per segment.  XLA does not update while-carried
+    #                    scatter targets in place: a scatter inside the loop
+    #                    body copies the full accumulator every iteration
+    #                    (~10 ms/iter for the 543 MB scaspe vs 0.1 ms for the
+    #                    scatter itself, RUNS/r4/prof_segsum.log), so the
+    #                    deposits are batched K steps at a time (the ~90x
+    #                    round-5 lever, VERDICT r4 #1).
 ):
     """Advance every ray to completion (exit / kill / block).
 
@@ -334,6 +345,9 @@ def march_legacy(
         vec_mod = jnp.full((NR,), jnp.inf, dtype=fdtype)
 
     do_trace = trace_steps > 0
+    # two-level loop only where deposits exist; trace/iobs modes have no
+    # big in-loop scatter targets so the single-level loop is already fast
+    deferred = flush_every > 0 and mode <= MODE_DIRECT and not do_trace
 
     state = dict(
         cc=cc.astype(jnp.int32),
@@ -354,7 +368,6 @@ def march_legacy(
         blk_dplane=jnp.zeros((NR,), dtype=fdtype),
         i_obs=jnp.zeros((NR, L), dtype=fdtype),
         lum_lost=jnp.zeros((L,), dtype=fdtype),
-        u=u_accum,
         n_steps=jnp.zeros((), dtype=jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
         it=jnp.zeros((), dtype=jnp.int32),
     )
@@ -362,20 +375,34 @@ def march_legacy(
         state["trace_cells"] = jnp.zeros((NR, trace_steps), dtype=jnp.int32)
         state["trace_lengths"] = jnp.zeros((NR, trace_steps), dtype=fdtype)
         state["trace_count"] = jnp.zeros((NR,), dtype=jnp.int32)
-    if collect_en_sca:
-        # accumulate FLAT (ncell, P_k*L_k): the 2-D scatter-add lowers to
-        # the fast row-scatter path on TPU; the 3-D (ncell, P, L) form was
-        # ~20x slower per iteration (RUNS/r4/measure2.log)
-        state["scaspe"] = tuple(
-            s.reshape(s.shape[0], -1) for s in scaspe_accum
-        )
+    # accumulators: flat (ncell, P_k*L_k) scaspe — the 2-D scatter-add
+    # lowers to the fast row-scatter path on TPU; the 3-D (ncell, P, L)
+    # form was ~20x slower per iteration (RUNS/r4/measure2.log).  In the
+    # deferred (two-level) mode the accumulators live in the OUTER loop
+    # state only, so they are scatter targets once per flush_every steps
+    # instead of every step.
+    scaspe_flat = (
+        tuple(s.reshape(s.shape[0], -1) for s in scaspe_accum)
+        if collect_en_sca else None
+    )
+    if not deferred:
+        state["u"] = u_accum
+        if collect_en_sca:
+            state["scaspe"] = scaspe_flat
 
     start_cell = cc  # cc_new in the reference: blocking exempt while inside
 
     def cond(s):
         return jnp.any(s["active"]) & (s["it"] < max_steps)
 
-    def body(s):
+    def body_core(s):
+        """One lock-step march step on the small per-ray state.
+
+        Returns (new_state, (cells, du, en_sca)): the deposit record of
+        this step — value rows pre-masked to zero where no deposit
+        happens, so applying them is a plain scatter-add (immediately in
+        the single-level loop, batched per segment in the two-level one).
+        """
         cc, clvl = s["cc"], s["clvl"]
         fx, fy, fz = s["fx"], s["fy"], s["fz"]
         act = s["active"]
@@ -489,11 +516,9 @@ def march_legacy(
 
         # deposit energy density: i_av * length / cs / vol_f * area_i * beam_i
         du = i_av * (length / cs / vol_f * area_i * beam_i)[:, None]
-        if "noscatter" in _ABLATE:
-            u = s["u"]
-        else:
-            u = s["u"].at[ccs].add(jnp.where(do_dep[:, None], du, 0.0))
+        du = jnp.where(do_dep[:, None], du, 0.0)
 
+        en_sca = None
         if collect_en_sca:
             # scattered energy created in this intersection
             # (rt_routines.f90:2509-2525); Taylor fallback for small tau
@@ -506,16 +531,6 @@ def march_legacy(
             en_sca = jnp.where(is_src_cell[:, None], en_own, en_ext)
             en_sca = en_sca * albedo[None, :] * (area_i * beam_i)[:, None]
             en_sca = jnp.where(do_dep[:, None], en_sca, 0.0)
-            # per-bucket deposit: scaspe_k[cell, pix, lam] +=
-            #   en_sca[ray, lam in bucket] * ffn_k[ray, pix, lam]
-            # (flattened to a 2-D row scatter, see state init)
-            s_scaspe = tuple(
-                sk.at[ccs].add(
-                    (ffn_k * jnp.take(en_sca, idx_k, axis=1)[:, None, :])
-                    .reshape(NR, -1)
-                )
-                for sk, ffn_k, idx_k in zip(s["scaspe"], ffn, scaspe_lam_idx)
-            )
 
         if do_trace:
             tc = jnp.clip(s["trace_count"], 0, trace_steps - 1)
@@ -666,7 +681,6 @@ def march_legacy(
             blk_dplane=blk_dplane,
             i_obs=i_obs,
             lum_lost=lum_lost,
-            u=u,
             n_steps=s["n_steps"] + jnp.sum(act).astype(s["n_steps"].dtype),
             it=s["it"] + 1,
         )
@@ -674,11 +688,78 @@ def march_legacy(
             new_state["trace_cells"] = trace_cells
             new_state["trace_lengths"] = trace_lengths
             new_state["trace_count"] = trace_count
-        if collect_en_sca:
-            new_state["scaspe"] = s_scaspe
-        return new_state
+        return new_state, (ccs, du, en_sca)
 
-    out = jax.lax.while_loop(cond, body, state)
+    def _scaspe_rows(en_row):
+        """(NR, L) scattered energy -> per-bucket flat (NR, P_k*L_k) rows:
+        scaspe_k[cell, pix, lam] += en[ray, lam in bucket] * ffn_k[ray,
+        pix, lam] (process_scatt_rad, rt_routines.f90:2638-2726)."""
+        return tuple(
+            (ffn_k * jnp.take(en_row, idx_k, axis=1)[:, None, :])
+            .reshape(NR, -1)
+            for ffn_k, idx_k in zip(ffn, scaspe_lam_idx)
+        )
+
+    if not deferred:
+
+        def body(s):
+            sc = {k: v for k, v in s.items() if k not in ("u", "scaspe")}
+            ns, (ccs_r, du_r, en_r) = body_core(sc)
+            if "noscatter" in _ABLATE:
+                ns["u"] = s["u"]
+            else:
+                ns["u"] = s["u"].at[ccs_r].add(du_r)
+            if collect_en_sca:
+                if "noscaspe" in _ABLATE:  # profiling only
+                    ns["scaspe"] = s["scaspe"]
+                elif "thinscaspe" in _ABLATE:  # profiling only: keep a
+                    # 1-column scatter, drop the ffn expand + wide rows
+                    ns["scaspe"] = tuple(
+                        sk.at[ccs_r, :1].add(en_r[:, :1])
+                        for sk in s["scaspe"]
+                    )
+                else:
+                    ns["scaspe"] = tuple(
+                        sk.at[ccs_r].add(rows)
+                        for sk, rows in zip(s["scaspe"], _scaspe_rows(en_r))
+                    )
+            return ns
+
+        out = jax.lax.while_loop(cond, body, state)
+    else:
+        K = flush_every
+
+        def inner(s, _):
+            ns, (ccs_r, du_r, en_r) = body_core(s)
+            rec = (ccs_r, du_r) + ((en_r,) if collect_en_sca else ())
+            return ns, rec
+
+        def outer_body(o):
+            s, recs = jax.lax.scan(inner, o["s"], None, length=K)
+            cells_k, du_k = recs[0], recs[1]
+            o2 = dict(s=s, u=o["u"])
+            if "noscatter" not in _ABLATE:
+                # one concatenated (K*NR, L) scatter covers the segment
+                o2["u"] = o["u"].at[cells_k.reshape(-1)].add(
+                    du_k.reshape(K * NR, L)
+                )
+            if collect_en_sca:
+                en_k = recs[2]
+                sc = list(o["scaspe"])
+                for j in range(K):
+                    rows = _scaspe_rows(en_k[j])
+                    for kb in range(len(sc)):
+                        sc[kb] = sc[kb].at[cells_k[j]].add(rows[kb])
+                o2["scaspe"] = tuple(sc)
+            return o2
+
+        o0 = dict(s=state, u=u_accum)
+        if collect_en_sca:
+            o0["scaspe"] = scaspe_flat
+        oo = jax.lax.while_loop(lambda o: cond(o["s"]), outer_body, o0)
+        out = dict(oo["s"], u=oo["u"])
+        if collect_en_sca:
+            out["scaspe"] = oo["scaspe"]
 
     lum_out = out["intensity"] * (4.0 * jnp.pi * csize_nc**2)[:, None]
     # row length covers L too (a wavelength-rich run can have L > NR)
@@ -695,6 +776,9 @@ def march_legacy(
         _padrow(out["isel_old"], jnp.int32),
         _padrow(out["seen_other"].astype(jnp.int32), jnp.int32),
         jnp.broadcast_to(out["n_steps"].astype(jnp.int32), (MP,)),
+        # loop iterations executed: per-round kernel-cost telemetry
+        # (cost = iterations x per-iteration floor, NOT useful steps)
+        jnp.broadcast_to(out["it"].astype(jnp.int32), (MP,)),
     ])
     packed_f = jnp.stack([
         _padrow(out["prev"], fdtype), _padrow(out["blk_dplane"], fdtype),

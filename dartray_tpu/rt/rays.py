@@ -516,14 +516,16 @@ def run_rounds(
         # happens in numpy
         if res.packed_all is not None:
             pa = np.asarray(res.packed_all)
-            pi = pa[:7]
-            pf = pa[7:].view(np.float32)
+            pi = pa[:8]
+            pf = pa[8:].view(np.float32)
         else:
             pi = np.asarray(res.packed_i)
             pf = np.asarray(res.packed_f)
         stats["rays"] = stats.get("rays", 0) + n
         steps_now = int(pi[6, 0])
         stats["steps"] = stats.get("steps", 0) + steps_now
+        iters_now = int(pi[7, 0]) if pi.shape[0] > 7 else 0
+        stats["iters"] = stats.get("iters", 0) + iters_now
         L_lost = stats.get("lum_lost")
         Lw = res.lum.shape[1]
         stats["lum_lost"] = (pf[2, :Lw] if L_lost is None
@@ -573,7 +575,9 @@ def run_rounds(
         if _dbg:
             t1 = time.perf_counter()
             print(f"# round n={n} pad={m} steps={steps_now} "
-                  f"t={t1-t0:.4f}s queued={n_queued}", flush=True)
+                  f"iters={iters_now} t={t1-t0:.4f}s "
+                  f"({(t1-t0)/max(iters_now,1)*1e3:.2f} ms/iter) "
+                  f"queued={n_queued}", flush=True)
         t_post0 = time.perf_counter() if _dbg else 0.0
 
         # continuations: rays still in flight after the step chunk

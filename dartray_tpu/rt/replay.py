@@ -177,6 +177,22 @@ def replay_scaspe(
     return tuple(out)
 
 
+def scattered_src_lum(scaspe: tuple, cells, pix_per_bucket, bucket_lam_idx,
+                      npix_hp, L: int):
+    """Scattered-light launch luminosity for rays re-emitting a cell's
+    scaspe toward their own direction (assign_src_lum,
+    rt_routines.f90:3043-3071): scaspe[cell, pix(dir)] * npix_hp.
+    Differentiable in scaspe — the coupling term that chains one
+    scattering iteration's deposits into the next iteration's sources
+    (the rtt_scatt loop, dartray_hub.f90:45-52)."""
+    out = jnp.zeros((len(cells), L), dtype=scaspe[0].dtype)
+    for s, pix_k, lam_idx_k, nhp_k in zip(
+        scaspe, pix_per_bucket, bucket_lam_idx, npix_hp
+    ):
+        out = out.at[:, lam_idx_k].set(s[cells, pix_k, :] * nhp_k)
+    return out
+
+
 def scattered_obs_lum(scaspe: tuple, cells, obs_col: int, bucket_lam_idx,
                       npix_hp, L: int):
     """Scattered-light launch luminosity toward appended observer column
