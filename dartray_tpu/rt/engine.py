@@ -191,27 +191,14 @@ def run_field_stage(
     SURVEY.md §2.2); the replicas are summed once at stage end — the
     reference's reduce_u_*_arr collectives (io_routines.f90:3667-3986).
 
-    Scaspe-less single-device stages can route to the device-resident
-    persistent-pool kernel (rt.march_pool) with DARTRAY_POOL=1 (opt-in
-    until its per-iteration scatter cost beats the round driver on TPU;
-    see RUNS/ROUND3_NOTES.md).
+    (The round-3/4 device-resident persistent-pool kernel was DELETED in
+    round 5: it measured 40.6k rays/s vs the lock-step driver's 200k on
+    the workload it was built for, and its motivation — host-bound
+    regroup rounds — no longer holds: per-round host cost is ~0.01-0.1 s
+    against ~0.5 s of kernel time, RUNS/r5_anatomy.log.)
     """
     import os as _os
 
-    if (
-        mesh is None
-        and getattr(phys, "dens_lambda", None) is None
-        and _os.environ.get("DARTRAY_POOL", "0") not in ("", "0", "false", "False")
-    ):
-        from . import march_pool as MP
-
-        return MP.run_pool_stage(
-            grid, phys, sources, mode=mode, u_fest=u_fest, u_init=u_init,
-            en_lim=en_lim, rad_lim=rad_lim, bm_par=bm_par,
-            bm_par_max=bm_par_max, wall_lo=wall_lo, wall_hi=wall_hi,
-            chunk=chunk, fdtype=fdtype, scaspe_cfg=scaspe_cfg,
-            scaspe_init=scaspe_init, src_lum_fn=src_lum_fn,
-        )
     L = phys.kext_norm.shape[0]
     if fdtype is None:
         fdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -249,9 +236,20 @@ def run_field_stage(
         if u_init is None
         else jnp.asarray(u_init, dtype=fdtype)
     )
+    # P8: the cross-process reduction must sum only this stage's DELTA —
+    # every process starts from the same u_init baseline (scattering
+    # iterations pass the accumulated field), which must enter the total
+    # exactly once
+    u_base_p8 = u if (n_proc > 1 and u_init is not None) else None
     if u_fest is None:
         u_fest = jnp.zeros((grid.n_cells, L), dtype=fdtype)
     scaspe = scaspe_init
+    # P8 delta baseline for scaspe too: the 2D two-pass flow hands pass
+    # A's deposits to pass B as scaspe_init
+    scaspe_base_p8 = (
+        tuple(jnp.asarray(s, dtype=fdtype) for s in scaspe)
+        if (n_proc > 1 and scaspe is not None) else None
+    )
     ndev = 0
     nwave = 1
     sc_g_call = sc_idx_call = sc_mask_call = ()
@@ -314,6 +312,14 @@ def run_field_stage(
     rad_lim_dist = rad_lim * grid.modelsize if mode == M.MODE_PRECALC else np.inf
     if scaspe_cfg is not None:
         step_chunk = min(step_chunk, 96)
+    # utilization knob: the lock-step loop runs to the longest-lived ray
+    # in the batch while the average ray dies in ~10 steps, so shorter
+    # chunks + host re-batching (cheap now: ~0.01-0.1 s/round,
+    # RUNS/r5_anatomy.log) trade wasted full-width iterations for extra
+    # rounds.  Sweep via DARTRAY_STEP_CHUNK; 0 keeps the defaults.
+    env_chunk = int(_os.environ.get("DARTRAY_STEP_CHUNK", "0"))
+    if env_chunk > 0:
+        step_chunk = env_chunk
     # two-level march loop (march.flush_every): A/B knob, DEFAULT OFF.
     # Round 4 hypothesized XLA copies while-carried scatter targets every
     # iteration (the "9.8 ms scaspe deposit floor"); round 5 measured the
@@ -439,10 +445,19 @@ def run_field_stage(
                 )
 
     if n_proc > 1:
-        # P8 stage reduction across processes (reduce_u_*_arr)
-        u = DIST.allreduce_sum(u)
+        # P8 stage reduction across processes (reduce_u_*_arr): every
+        # process starts from the same u_init/scaspe_init baseline, so
+        # only this stage's delta is summed and the baseline re-enters
+        # exactly once
+        if u_base_p8 is not None:
+            u = u_base_p8 + DIST.allreduce_sum(u - u_base_p8)
+        else:
+            u = DIST.allreduce_sum(u)
         if scaspe is not None:
-            scaspe = tuple(DIST.allreduce_sum(s) for s in scaspe)
+            scaspe = tuple(
+                b + DIST.allreduce_sum(s - b)
+                for s, b in zip(scaspe, scaspe_base_p8)
+            )
         lum_lost = DIST.allreduce_sum(lum_lost)
         # reduce with a 0 default so the collective count matches across
         # processes even when one of them drew no sources this stage

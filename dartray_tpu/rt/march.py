@@ -256,7 +256,14 @@ def march_legacy(
         # appended observer pixels reuse the normalized values
         # (rt:2258-2266); a single-pixel bucket (isotropic lambdas) gets a
         # uniform weight of 1 (rt:2270).
+        # stored FLAT (NR, P_k*L_k): the per-iteration deposit rows stay in
+        # the same flat layout as the scaspe accumulator, so the in-loop
+        # expand is a lane-dense multiply + tile (a concat) instead of a
+        # (NR, P, L_k) broadcast whose tiny last dim wastes ~7/8 of every
+        # TPU tile and forces a relayout on reshape (measured 10.7 ->
+        # ~1 ms/iter, RUNS/r5_ablate2.log vs r5_ablate3.log)
         ffn = []
+        scaspe_np = []
         for kb, (dirs_k, g_k, nhp_k) in enumerate(
             zip(scaspe_dirs, scaspe_g, scaspe_npix_hp)
         ):
@@ -274,8 +281,10 @@ def march_legacy(
                 w = w / jnp.maximum(tot, 1e-300)
             if scaspe_lam_mask is not None:
                 w = w * scaspe_lam_mask[kb].astype(fdtype)[None, None, :]
-            ffn.append(w)
+            scaspe_np.append(int(dirs_k.shape[0]))
+            ffn.append(w.reshape(NR, -1))
         ffn = tuple(ffn)
+        scaspe_np = tuple(scaspe_np)
 
     sx = rays.src_pos[:, 0].astype(fdtype)
     sy = rays.src_pos[:, 1].astype(fdtype)
@@ -381,6 +390,13 @@ def march_legacy(
     # deferred (two-level) mode the accumulators live in the OUTER loop
     # state only, so they are scatter targets once per flush_every steps
     # instead of every step.
+    #
+    # NOTE (round 5): fusing u + all buckets into ONE (ncell, L + sum Wk)
+    # accumulator so each iteration pays a single scatter was measured
+    # WORSE than the separate scatters (scaspe rounds 30 -> 37 ms/iter,
+    # RUNS/r5_merged1.log) — the per-iteration (NR, 788) concat costs
+    # more than the scatter ops it saves.  Separate per-array scatters
+    # are the measured optimum on this backend.
     scaspe_flat = (
         tuple(s.reshape(s.shape[0], -1) for s in scaspe_accum)
         if collect_en_sca else None
@@ -693,11 +709,13 @@ def march_legacy(
     def _scaspe_rows(en_row):
         """(NR, L) scattered energy -> per-bucket flat (NR, P_k*L_k) rows:
         scaspe_k[cell, pix, lam] += en[ray, lam in bucket] * ffn_k[ray,
-        pix, lam] (process_scatt_rad, rt_routines.f90:2638-2726)."""
+        pix, lam] (process_scatt_rad, rt_routines.f90:2638-2726).
+
+        flat[:, p*L_k + lam] = ffn[:, p, lam] * en[:, lam]: the lam-fastest
+        tile of the bucket energies matches the flat ffn layout exactly."""
         return tuple(
-            (ffn_k * jnp.take(en_row, idx_k, axis=1)[:, None, :])
-            .reshape(NR, -1)
-            for ffn_k, idx_k in zip(ffn, scaspe_lam_idx)
+            ffn_k * jnp.tile(jnp.take(en_row, idx_k, axis=1), (1, p_k))
+            for ffn_k, idx_k, p_k in zip(ffn, scaspe_lam_idx, scaspe_np)
         )
 
     if not deferred:
@@ -823,11 +841,14 @@ def march_legacy(
 def march(grid, dens_ref, kext_norm, albedo, u_fest, u_accum, rays, **kw):
     """Advance every ray to completion (exit / kill / block).
 
-    The lock-step kernel serves every round-driver call; the
-    device-resident persistent-pool kernel (rt.march_pool) covers the
-    scaspe-less field stages.  (A third, two-phase kernel — march_fast —
-    was removed in round 4: it measured slower than lock-step on TPU,
-    94-103k vs 148k rays/s, and had no test coverage.)
+    The lock-step kernel serves every round-driver call.  Two alternate
+    kernel families were built, measured slower on TPU, and deleted:
+    march_fast (round 4: 94-103k vs 148k rays/s) and the persistent-pool
+    kernel (round 5: 40.6k vs 200k rays/s; its in-loop refill/export
+    machinery cost more than the lock-step batch decay it avoided).  The
+    two-level flush_every variant survives behind an env knob with an
+    exact equivalence suite (tests/test_march_flush.py) as the cheap
+    re-measurement path for future backends.
     """
     return march_legacy(
         grid, dens_ref, kext_norm, albedo, u_fest, u_accum, rays, **kw
