@@ -48,6 +48,14 @@ REPEATS = int(os.environ.get("PROF_REPEATS", "5"))
 
 
 def measure(name, fn, *args, repeats=REPEATS, per_iter=1):
+    """Median-of-N timing with the result FORCED.
+
+    CAUTION (the round-5 lesson, RUNS/ROUND5_NOTES.md §1): summing a
+    scatter result does NOT force the scatter — XLA rewrites
+    sum(scatter_add(a, c, v)) to sum(a) + sum(v), so sections A-D here
+    still under-measure.  The honest shape is a chain of scatters with
+    DISTINCT index sets (scripts/prof_r5c.py); these sections are kept
+    as the documented example of the artifact."""
     out = jax.block_until_ready(fn(*args))  # compile + warm
     ts = []
     for _ in range(repeats):
@@ -56,7 +64,9 @@ def measure(name, fn, *args, repeats=REPEATS, per_iter=1):
         ts.append((time.perf_counter() - t) / per_iter)
     med = float(np.median(ts))
     alls = " ".join(f"{t*1e3:8.3f}" for t in ts)
-    print(f"{name:58s} med {med*1e3:9.3f} ms   [{alls}]", flush=True)
+    first = np.ravel(np.asarray(jax.tree_util.tree_leaves(out)[0]))[0]
+    print(f"{name:58s} med {med*1e3:9.3f} ms   [{alls}]  (v0={first:.3g})",
+          flush=True)
     return out, med
 
 
@@ -78,11 +88,14 @@ def main():
     acc_u = jnp.zeros((NCELL, L), dtype=jnp.float32)
 
     # ---- standalone rates (pipelined x8 to amortize dispatch) ----------
+    # every variant returns jnp.sum(result) so the scatters cannot be
+    # elided (they were, in the first version of this script — the
+    # timings that misled round 4; ROUND5_NOTES.md §1)
     @jax.jit
     def sc8(a, c, v):
         for _ in range(8):
             a = a.at[c].add(v)
-        return a
+        return jnp.sum(a)
 
     measure("A. scatter (NR,753) standalone x8-chained", sc8, acc, cells,
             vals, per_iter=8)
@@ -91,7 +104,7 @@ def main():
     def scu8(a, c, v):
         for _ in range(8):
             a = a.at[c].add(v)
-        return a
+        return jnp.sum(a)
 
     measure("B. scatter (NR,26) standalone x8-chained", scu8, acc_u, cells,
             vals_u, per_iter=8)
@@ -106,7 +119,9 @@ def main():
             a = a.at[cit[i]].add(v)
             return i + 1, a
 
-        return jax.lax.while_loop(cond, body, (jnp.int32(0), acc0))[1]
+        return jnp.sum(
+            jax.lax.while_loop(cond, body, (jnp.int32(0), acc0))[1]
+        )
 
     ref_sc, _ = measure("C. scatter (NR,753) in while_loop, per-iter",
                         jax.jit(while_scatter), acc, cells_it, vals,
@@ -121,7 +136,9 @@ def main():
             a = a.at[cit[i]].add(v)
             return i + 1, a
 
-        return jax.lax.while_loop(cond, body, (jnp.int32(0), acc0))[1]
+        return jnp.sum(
+            jax.lax.while_loop(cond, body, (jnp.int32(0), acc0))[1]
+        )
 
     measure("D. scatter (NR,26) in while_loop, per-iter",
             jax.jit(while_scatter_u), acc_u, cells_it, vals_u,
