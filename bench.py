@@ -99,7 +99,7 @@ def main():
     # round-5 protocol note), so a single measurement cannot adjudicate
     # an optimization
     r1, t1 = run_direct(pre.u)
-    n_rep = int(os.environ.get("DARTRAY_BENCH_REPEATS", "3"))
+    n_rep = int(os.environ.get("DARTRAY_BENCH_REPEATS", "5"))
     runs = []
     r2 = r1
     for _ in range(n_rep):
