@@ -99,7 +99,7 @@ def main():
     # round-5 protocol note), so a single measurement cannot adjudicate
     # an optimization
     r1, t1 = run_direct(pre.u)
-    n_rep = int(os.environ.get("DARTRAY_BENCH_REPEATS", "5"))
+    n_rep = max(1, int(os.environ.get("DARTRAY_BENCH_REPEATS", "5")))
     runs = []
     r2 = r1
     for _ in range(n_rep):
@@ -244,10 +244,13 @@ def main():
         try:
             with open(rec_path) as f:
                 rec = json.load(f)
-            out["scatt_iteration_est_s"] = rec.get("full_iteration_est_s")
-            out["scatt_largest_slice_every"] = rec.get("every")
-            out["scatt_largest_slice_wall_s"] = rec.get("wall_s")
-            out["scatt_largest_slice_rays"] = rec.get("rays")
+            # cross-session numbers only make sense from the SAME device
+            # class (the protocol this bench enforces everywhere else)
+            if rec.get("device") == str(dev):
+                out["scatt_iteration_est_s"] = rec.get("full_iteration_est_s")
+                out["scatt_largest_slice_every"] = rec.get("every")
+                out["scatt_largest_slice_wall_s"] = rec.get("wall_s")
+                out["scatt_largest_slice_rays"] = rec.get("rays")
         except Exception:
             pass
     print(json.dumps(out))

@@ -169,13 +169,15 @@ def cmd_run(model: str, input_file: str):
           f"(scaspe {mem['scaspe_bytes']/2**30:.2f} GiB)")
 
     two_d = algo in ("2D", "dust_2D")
-    # shard the field stages over every device (P1+P6).  Multi-host (P8,
-    # initialize_mpi io_routines.f90:3610): set DARTRAY_MULTIHOST=1 and
-    # the coordination env vars (DARTRAY_COORDINATOR=host:port,
+    # shard the field stages over every LOCAL device (P1+P6).  Multi-host
+    # (P8, initialize_mpi io_routines.f90:3610): set DARTRAY_MULTIHOST=1
+    # and the coordination env vars (DARTRAY_COORDINATOR=host:port,
     # DARTRAY_NUM_PROCS, DARTRAY_PROC_ID — or nothing on cloud TPU,
-    # which auto-detects), then run the SAME command on every host; the
-    # mesh spans all hosts' devices.  A 'wave' axis additionally shards
-    # the scaspe wavelength axis (P3): DARTRAY_WAVE_SHARDS=n.
+    # which auto-detects), then run the SAME command on every host; each
+    # process traces a rank-strided slice of the sources on its local
+    # mesh and the accumulators reduce once per stage
+    # (parallel/distributed.py).  A 'wave' axis additionally shards the
+    # scaspe wavelength axis (P3): DARTRAY_WAVE_SHARDS=n.
     import os as _os
 
     import jax

@@ -381,6 +381,15 @@ def run_main(
         restore = OUT.check_files(files)
         if restore == "part2" and cfg.only_direct_rt:
             restore = ""  # nothing to resume into
+        # P8: the restore decision steers which stages run (and therefore
+        # which collectives fire) — divergent filesystem views across
+        # processes must fail loudly, not deadlock
+        import jax as _jax
+
+        if _jax.process_count() > 1:
+            from .parallel import distributed as DIST
+
+            DIST.agree("check_files restore", restore)
 
     n_point_r = len(p_src_pos) if p_src_pos is not None else 0
     if restore == "part2":

@@ -211,12 +211,7 @@ def run_field_stage(
     if n_proc > 1:
         from ..parallel import distributed as DIST
 
-        sel_p8 = DIST.split_sources(sources.n)
-        sources = SourceSet(
-            pos=sources.pos[sel_p8], cell=sources.cell[sel_p8],
-            sid=sources.sid[sel_p8], lum=np.asarray(sources.lum)[sel_p8],
-            point=sources.point,
-        )
+        sources = DIST.split_source_set(sources)
     if pool_max is None:
         # the scattering deposit path carries (NR, P, L) HG weight buffers;
         # cap the batch so ffn stays ~100 MB (P_tot ~ sum of bucket
@@ -558,12 +553,7 @@ def run_iobs_stage(
     if n_proc > 1:
         from ..parallel import distributed as DIST
 
-        sel_p8 = DIST.split_sources(sources.n)
-        sources = SourceSet(
-            pos=sources.pos[sel_p8], cell=sources.cell[sel_p8],
-            sid=sources.sid[sel_p8], lum=np.asarray(sources.lum)[sel_p8],
-            point=sources.point,
-        )
+        sources = DIST.split_source_set(sources)
     dens_ref = jnp.asarray(grid.dens_ref, dtype=fdtype)
     kext_norm = jnp.asarray(phys.kext_norm, dtype=fdtype)
     albedo = jnp.asarray(phys.albedo, dtype=fdtype)

@@ -105,11 +105,12 @@ class MarchResult:
     # all scalar per-ray outputs stacked into two arrays so the host driver
     # needs exactly TWO device->host transfers per round (each transfer
     # costs ~30 ms of latency over a remote-TPU tunnel):
-    packed_i: jax.Array = None  # (7, MP) int32: status, blk_cc, blk_isel,
-    #                              cc_cur, isel_cur, seen_other, n_steps
+    packed_i: jax.Array = None  # (8, MP) int32: status, blk_cc, blk_isel,
+    #                              cc_cur, isel_cur, seen_other, n_steps,
+    #                              loop iterations (telemetry)
     packed_f: jax.Array = None  # (3, MP) fdtype: prev, blk_dplane,
     #                              lum_lost (row 2, first L entries)
-    packed_all: jax.Array = None  # (10, MP) int32: packed_i rows stacked on
+    packed_all: jax.Array = None  # (11, MP) int32: packed_i rows stacked on
     #                              the float32-bitcast packed_f rows, so the
     #                              host needs ONE transfer (f32 sessions only)
 

@@ -1,5 +1,9 @@
 """Round-5c: TRUE standalone scatter rates (unfoldable, result-forced).
 
+Every case reduces with sum(x*x): a LINEAR reduction of a scatter-add
+result is algebraically rewritten away (sum(scatter_add(a,c,v)) ->
+sum(a)+sum(v)), so only a nonlinear consumer forces the scatter.
+
 prof_r5.py's A/B chained 8 IDENTICAL scatters, which XLA can fold into
 one (scatter-add is linear), so the per-op division understated the
 cost.  Here every scatter in a chain uses DIFFERENT indices, results
@@ -58,7 +62,8 @@ def main():
 
     @jax.jit
     def one_wide(a, c8, v):
-        return jnp.sum(a.at[c8[0]].add(v))
+        out = a.at[c8[0]].add(v)
+        return jnp.sum(out * out)
 
     measure("1. ONE scatter (NR,753), sum-forced", one_wide, acc, cells8,
             vals)
@@ -67,14 +72,15 @@ def main():
     def chain8_wide(a, c8, v):
         for j in range(8):
             a = a.at[c8[j]].add(v)  # different indices: unfoldable
-        return jnp.sum(a)
+        return jnp.sum(a * a)
 
     measure("2. 8 chained DISTINCT-index scatters (NR,753), per-op",
             chain8_wide, acc, cells8, vals, per_iter=8)
 
     @jax.jit
     def one_narrow(a, c8, v):
-        return jnp.sum(a.at[c8[0]].add(v))
+        out = a.at[c8[0]].add(v)
+        return jnp.sum(out * out)
 
     measure("3. ONE scatter (NR,26), sum-forced", one_narrow, acc_u, cells8,
             vals_u)
@@ -83,7 +89,7 @@ def main():
     def chain8_narrow(a, c8, v):
         for j in range(8):
             a = a.at[c8[j]].add(v)
-        return jnp.sum(a)
+        return jnp.sum(a * a)
 
     measure("4. 8 chained DISTINCT-index scatters (NR,26), per-op",
             chain8_narrow, acc_u, cells8, vals_u, per_iter=8)
@@ -95,7 +101,8 @@ def main():
 
         @jax.jit
         def bigu(a, c, v):
-            return jnp.sum(a.at[c].add(v))
+            out = a.at[c].add(v)
+            return jnp.sum(out * out)
 
         measure(f"5. ONE ({K}*NR,26) scatter (u flush of {K} steps), per-step",
                 bigu, acc_u, cK, vK, per_iter=K)
@@ -110,7 +117,7 @@ def main():
         for j in range(8):
             rows = ffn_w * jnp.tile(e8[j], (1, W // L + 1))[:, :W]
             a = a.at[c8[j]].add(rows)
-        return jnp.sum(a)
+        return jnp.sum(a * a)
 
     measure("6. post-loop epilogue: expand+scatter (NR,753) x8, per-step",
             epilogue, acc, cells8, en8, per_iter=8)
